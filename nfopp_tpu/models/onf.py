@@ -1,0 +1,122 @@
+"""ONF — the neural occupancy field, as a pure functional JAX model.
+
+Architecture replicates the reference `onf_model.py:7-50` + `angle_encoder.py:10-22`:
+
+    x[M, 3] --theta--> AngleEncoder: sin/cos((theta + b_i) * f_i), f_i = 1..H  -> [M, 2H]
+    x[M, 2] --> (x - mean) / sigma --> Linear(2 -> F) --> fourier: sin / [sin|cos] -> [M, F]
+    concat -> [M, F + 2H] --> Linear(-> 100) + ReLU --> Linear(-> 100) + ReLU
+    skip-concat input features -> [M, 100 + F + 2H] --> Linear(-> 1) -> logits [M, 1]
+
+F = 200 when use_cos else 100; H = 10 (angle harmonics). ~33k parameters.
+
+Parameters live in a flat dict pytree so the model vmaps over a problem batch
+(each planning problem trains its own field) and feeds the Pallas fused kernel
+(`nfopp_tpu.ops.pallas`) without framework overhead. Initialization matches
+torch.nn.Linear defaults (U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weights+biases)
+with the optional N(0, 1) encoding-layer init (`use_normal_init`,
+onf_model.py:30-31) and U(-pi, pi) angle-encoder biases (angle_encoder.py:14).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ONFConfig", "init_onf_params", "onf_apply", "angle_encode", "onf_param_count"]
+
+
+class ONFConfig(NamedTuple):
+    """Static (hashable) architecture configuration for the field MLP."""
+
+    mean: float = 0.0
+    sigma: float = 1.0
+    use_cos: bool = True
+    use_normal_init: bool = True
+    bias: bool = True
+    angle_encoding: bool = True
+    angle_harmonics: int = 10
+    hidden: int = 100
+
+    @property
+    def fourier_features(self) -> int:
+        return 200 if self.use_cos else 100
+
+    @property
+    def angle_features(self) -> int:
+        return 2 * self.angle_harmonics if self.angle_encoding else 0
+
+    @property
+    def feature_dim(self) -> int:
+        return self.fourier_features + self.angle_features
+
+
+def _linear_init(key: jax.Array, fan_in: int, fan_out: int, bias: bool):
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(float(fan_in))
+    w = jax.random.uniform(wkey, (fan_in, fan_out), jnp.float32, -bound, bound)
+    b = (
+        jax.random.uniform(bkey, (fan_out,), jnp.float32, -bound, bound)
+        if bias
+        else jnp.zeros((fan_out,), jnp.float32)
+    )
+    return {"w": w, "b": b}
+
+
+def init_onf_params(key: jax.Array, config: ONFConfig = ONFConfig()) -> dict:
+    """Initialize the field parameter pytree."""
+    keys = jax.random.split(key, 5)
+    fourier = config.fourier_features
+    encoding = _linear_init(keys[0], 2, fourier, config.bias)
+    if config.use_normal_init:
+        encoding["w"] = jax.random.normal(keys[0], (2, fourier), jnp.float32)
+    params = {
+        "encoding": encoding,
+        "mlp1": _linear_init(keys[1], config.feature_dim, config.hidden, True),
+        "mlp2": _linear_init(keys[2], config.hidden, config.hidden, True),
+        "out": _linear_init(keys[3], config.hidden + config.feature_dim, 1, True),
+    }
+    if config.angle_encoding:
+        h = config.angle_harmonics
+        params["angle_biases"] = jax.random.uniform(
+            keys[4], (2 * h,), jnp.float32, -jnp.pi, jnp.pi
+        )
+    return params
+
+
+def angle_encode(biases: jnp.ndarray, theta: jnp.ndarray, harmonics: int) -> jnp.ndarray:
+    """[M] angles -> [M, 2H] learned-phase Fourier features (angle_encoder.py:15-18).
+
+    Frequencies are the fixed ramp 1..H duplicated for the sin and cos halves;
+    only the per-feature phase offsets are learnable.
+    """
+    freqs = jnp.arange(1, harmonics + 1, dtype=theta.dtype)
+    frequencies = jnp.concatenate([freqs, freqs])
+    x = (theta[:, None] + biases[None, :]) * frequencies[None, :]
+    return jnp.concatenate([jnp.sin(x[:, :harmonics]), jnp.cos(x[:, harmonics:])], axis=1)
+
+
+def onf_apply(params: dict, x: jnp.ndarray, config: ONFConfig = ONFConfig()) -> jnp.ndarray:
+    """Field forward pass: [M, 2|3] query poses -> [M, 1] occupancy logits."""
+    xy = (x[:, :2] - config.mean) / config.sigma
+    enc = xy @ params["encoding"]["w"] + params["encoding"]["b"]
+    if config.use_cos:
+        h = config.fourier_features // 2
+        enc = jnp.concatenate([jnp.sin(enc[:, :h]), jnp.cos(enc[:, h:])], axis=1)
+    else:
+        enc = jnp.sin(enc)
+    if config.angle_encoding:
+        angle = angle_encode(params["angle_biases"], x[:, 2], config.angle_harmonics)
+        features = jnp.concatenate([enc, angle], axis=1)
+    else:
+        features = enc
+    hidden = jax.nn.relu(features @ params["mlp1"]["w"] + params["mlp1"]["b"])
+    hidden = jax.nn.relu(hidden @ params["mlp2"]["w"] + params["mlp2"]["b"])
+    skip = jnp.concatenate([hidden, features], axis=1)
+    return skip @ params["out"]["w"] + params["out"]["b"]
+
+
+def onf_param_count(config: ONFConfig = ONFConfig()) -> int:
+    params = init_onf_params(jax.random.PRNGKey(0), config)
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

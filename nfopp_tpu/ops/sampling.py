@@ -1,0 +1,96 @@
+"""Device-side sampling primitives for the solver hot loop.
+
+The reference does all sampling host-side with numpy (`nerf_opt_planner.py:101-141`)
+— including `np.random.choice(..., replace=False, p=weights)` for the experience
+replay buffer resampling (:122-133), which forces a device->host->device round trip
+per step. Here everything is a fixed-shape jnp computation:
+
+  * weighted sampling *without replacement* is the Gumbel-top-k trick
+    (perturb log-weights with Gumbel noise, take top-k), which is exactly
+    equivalent in distribution to successive weighted draws without replacement;
+  * uniform segment-interpolation sampling mirrors `_random_intermediate_positions`
+    (:113-117) and the constrained variant (constrained_nerf_opt_planner.py:78-81).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .math import wrap_angle
+
+__all__ = [
+    "gumbel_topk_indices",
+    "random_intermediate_positions",
+    "random_intermediate_positions_se2",
+    "offset_positions_se2",
+    "uniform_box_points",
+]
+
+
+def gumbel_topk_indices(key: jax.Array, weights: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of a weighted sample of size k without replacement.
+
+    `weights` are unnormalized non-negative weights; entries with weight <= 0
+    are effectively excluded (they can only be picked once all positive-weight
+    entries are exhausted, matching np.random.choice's replace fallback edge
+    case in spirit — ref nerf_opt_planner.py:128-130).
+    """
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, weights.shape, minval=1e-20, maxval=1.0) + 1e-20))
+    scores = jnp.log(jnp.maximum(weights, 1e-30)) + gumbel
+    _, indices = jax.lax.top_k(scores, k)
+    return indices
+
+
+def random_intermediate_positions(key: jax.Array, trajectory: jnp.ndarray) -> jnp.ndarray:
+    """One uniform point per segment of a [N, d] trajectory -> [N-1, d].
+
+    Ref: nerf_opt_planner.py:113-117 (t drawn per segment, lerp between
+    consecutive waypoints: traj[1:] * (1 - t) + traj[:-1] * t).
+    """
+    n = trajectory.shape[0]
+    t = jax.random.uniform(key, (n - 1, 1), dtype=trajectory.dtype)
+    return trajectory[1:] * (1.0 - t) + trajectory[:-1] * t
+
+
+def random_intermediate_positions_se2(
+    key: jax.Array, trajectory: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """SE(2) segment sampling with wrapped-angle interpolation.
+
+    Returns (positions [N-1, 3], t [N-1, 1]). Ref:
+    constrained_nerf_opt_planner.py:78-81 — delta = traj[:-1] - traj[1:] with the
+    angle channel wrapped, positions = traj[1:] + t * delta. The same t is reused
+    for the collision-multiplier interpolation, so it is returned.
+    """
+    n = trajectory.shape[0]
+    t = jax.random.uniform(key, (n - 1, 1), dtype=trajectory.dtype)
+    delta = trajectory[:-1] - trajectory[1:]
+    delta = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
+    return trajectory[1:] + t * delta, t
+
+
+def offset_positions_se2(
+    key: jax.Array, positions: jnp.ndarray, xy_sigma: float, angle_sigma: float
+) -> jnp.ndarray:
+    """Gaussian-jitter SE(2) samples (ref: constrained_nerf_opt_planner.py:57-61)."""
+    noise = jax.random.normal(key, positions.shape, dtype=positions.dtype)
+    scale = jnp.array([xy_sigma, xy_sigma, angle_sigma], dtype=positions.dtype)
+    return positions + noise * scale
+
+
+def uniform_box_points(
+    key: jax.Array, count: int, bounds: jnp.ndarray, with_angle: bool = False
+) -> jnp.ndarray:
+    """Uniform random points in an axis-aligned box bounds=[xmin,xmax,ymin,ymax].
+
+    Ref: nerf_opt_planner.py:135-141; the constrained variant appends a uniform
+    angle in [0, 2pi) (constrained_nerf_opt_planner.py:173-176).
+    """
+    dim = 3 if with_angle else 2
+    u = jax.random.uniform(key, (count, dim))
+    x = bounds[0] + u[:, 0] * (bounds[1] - bounds[0])
+    y = bounds[2] + u[:, 1] * (bounds[3] - bounds[2])
+    if with_angle:
+        theta = u[:, 2] * 2.0 * jnp.pi
+        return jnp.stack([x, y, theta], axis=1)
+    return jnp.stack([x, y], axis=1)

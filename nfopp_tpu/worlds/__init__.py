@@ -1,0 +1,18 @@
+"""Worlds: device-side collision oracles, synthetic scenes, benchmark scenarios."""
+
+from .oracle import (  # noqa: F401
+    CircleOracle,
+    GridOracle,
+    RectangleOracle,
+    boundary_collision,
+    circle_collision,
+    grid_collision,
+    pad_obstacle_points,
+    rectangle_collision,
+)
+from .environments import (  # noqa: F401
+    Environment,
+    car_environment,
+    two_walls_environment,
+    two_walls_se2_environment,
+)

@@ -1,0 +1,129 @@
+"""Device-side collision oracles.
+
+The reference queries a host-side numpy/C++ oracle from inside the hot loop
+(`collision_checker/*.py`, `benchmark_adapter/*`), forcing >=3 device<->host round
+trips per optimization step (SURVEY.md §3.2). Here every oracle is a pure jnp
+function over fixed-shape parameters, so ground-truth labels are computed on-TPU
+inside the jitted step, and a batch of problems carries a batched oracle pytree.
+
+Oracles provided (mirroring the reference inventory, SURVEY.md §2 L2):
+  * boundary box          (collision_checker/collision_checker.py:9-28)
+  * circle footprint      (circle_collision_checker.py:11-14) — point robot variant
+    checks translation only (circle_directed_collision_checker.py:5-6)
+  * rectangle footprint   (rectangle_collision_checker.py:11-26)
+  * occupancy-grid bitmap (replaces the bench-mr C++ oracle for benchmark worlds;
+    footprints are folded in by host-side grid dilation, see worlds/scenarios.py)
+
+Variable obstacle counts are handled with padding + a validity mask so shapes
+stay static under jit/vmap.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "CircleOracle",
+    "RectangleOracle",
+    "GridOracle",
+    "boundary_collision",
+    "circle_collision",
+    "rectangle_collision",
+    "grid_collision",
+    "pad_obstacle_points",
+]
+
+# Far-away sentinel for padded obstacle slots; combined with the mask so padded
+# slots can never produce a collision even without the mask.
+_PAD_VALUE = 1e9
+
+
+class CircleOracle(NamedTuple):
+    """Disc robot of `radius` against point obstacles + boundary box."""
+
+    points: jnp.ndarray  # [P, 2] padded obstacle points
+    mask: jnp.ndarray  # [P] bool, True for real obstacles
+    radius: jnp.ndarray  # scalar
+    bounds: jnp.ndarray  # [4] = (xmin, xmax, ymin, ymax)
+
+
+class RectangleOracle(NamedTuple):
+    """Rectangle footprint `box`=(xmin, xmax, ymin, ymax) in the robot frame."""
+
+    points: jnp.ndarray  # [P, 2]
+    mask: jnp.ndarray  # [P]
+    box: jnp.ndarray  # [4]
+    bounds: jnp.ndarray  # [4]
+
+
+class GridOracle(NamedTuple):
+    """Occupancy-bitmap world: occupied[i, j] covers cell (origin + (i, j)*res)."""
+
+    occupancy: jnp.ndarray  # [H, W] bool/float, True = collision
+    origin: jnp.ndarray  # [2] world coords of cell (0, 0) corner
+    resolution: jnp.ndarray  # scalar cell size
+    bounds: jnp.ndarray  # [4]
+
+
+def pad_obstacle_points(points: np.ndarray, capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a [P, 2] obstacle array to `capacity` rows; returns (points, mask)."""
+    count = points.shape[0]
+    if count > capacity:
+        raise ValueError(f"{count} obstacle points exceed capacity {capacity}")
+    padded = np.full((capacity, 2), _PAD_VALUE, dtype=np.float32)
+    padded[:count] = points
+    mask = np.zeros(capacity, dtype=bool)
+    mask[:count] = True
+    return padded, mask
+
+
+def boundary_collision(bounds: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """True where xy [M, 2] lies outside bounds (ref collision_checker.py:15-21)."""
+    x, y = xy[:, 0], xy[:, 1]
+    return (x > bounds[1]) | (x < bounds[0]) | (y > bounds[3]) | (y < bounds[2])
+
+
+def circle_collision(oracle: CircleOracle, positions: jnp.ndarray) -> jnp.ndarray:
+    """[M, >=2] query poses -> [M] bool. Angle channel (if any) is ignored,
+    matching CircleDirectedCollisionChecker (checks `.translation` only)."""
+    xy = positions[:, :2]
+    diff = xy[:, None, :] - oracle.points[None, :, :]  # [M, P, 2]
+    dist_sq = jnp.sum(diff * diff, axis=-1)
+    hit = (dist_sq < oracle.radius**2) & oracle.mask[None, :]
+    return jnp.any(hit, axis=1) | boundary_collision(oracle.bounds, xy)
+
+
+def rectangle_collision(oracle: RectangleOracle, positions: jnp.ndarray) -> jnp.ndarray:
+    """[M, 3] SE(2) poses -> [M] bool.
+
+    Transforms obstacle points into each robot frame and box-tests them
+    (ref rectangle_collision_checker.py:11-26). Strict inequalities as in the
+    reference (points exactly on the box edge do not collide).
+    """
+    px, py, theta = positions[:, 0], positions[:, 1], positions[:, 2]
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    ox = oracle.points[None, :, 0] - px[:, None]
+    oy = oracle.points[None, :, 1] - py[:, None]
+    local_x = cos_t[:, None] * ox + sin_t[:, None] * oy
+    local_y = -sin_t[:, None] * ox + cos_t[:, None] * oy
+    inside = (
+        (local_x > oracle.box[0])
+        & (local_x < oracle.box[1])
+        & (local_y > oracle.box[2])
+        & (local_y < oracle.box[3])
+        & oracle.mask[None, :]
+    )
+    return jnp.any(inside, axis=1) | boundary_collision(oracle.bounds, positions[:, :2])
+
+
+def grid_collision(oracle: GridOracle, positions: jnp.ndarray) -> jnp.ndarray:
+    """[M, >=2] query poses -> [M] bool via nearest-cell occupancy lookup."""
+    xy = positions[:, :2]
+    cells = jnp.floor((xy - oracle.origin) / oracle.resolution).astype(jnp.int32)
+    h, w = oracle.occupancy.shape
+    i = jnp.clip(cells[:, 0], 0, h - 1)
+    j = jnp.clip(cells[:, 1], 0, w - 1)
+    occupied = oracle.occupancy[i, j].astype(bool)
+    return occupied | boundary_collision(oracle.bounds, xy)

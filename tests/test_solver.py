@@ -1,0 +1,209 @@
+"""Solver tests: the reference's invariants (test/test_nerf_opt_planner.py,
+test/test_constrained_nerf_opt_planner.py — endpoints pinned, path shape, steps
+run) plus the convergence/cost assertions the reference lacks (SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nfopp_tpu.models import ONFConfig
+from nfopp_tpu.solver import (
+    ConstrainedSolver,
+    HolonomicSolver,
+    SolverConfig,
+    run_planner_config,
+)
+from nfopp_tpu.worlds import (
+    CircleOracle,
+    circle_collision,
+    pad_obstacle_points,
+    two_walls_environment,
+    two_walls_se2_environment,
+)
+
+
+def make_circle_oracle(env, radius=0.3, capacity=32):
+    pts, mask = pad_obstacle_points(env.obstacle_points.astype(np.float32), capacity)
+    return CircleOracle(
+        points=jnp.asarray(pts),
+        mask=jnp.asarray(mask),
+        radius=jnp.float32(radius),
+        bounds=jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def constrained_setup():
+    env = two_walls_se2_environment()
+    oracle = make_circle_oracle(env)
+    solver = ConstrainedSolver(run_planner_config(), circle_collision)
+    state = solver.init_state(
+        jax.random.PRNGKey(0), env.start, env.goal, jnp.asarray(env.bounds), oracle
+    )
+    return solver, state, oracle, env
+
+
+class TestConstrainedSolver:
+    def test_endpoints_pinned_after_init(self, constrained_setup):
+        solver, state, _, env = constrained_setup
+        path = np.asarray(solver.full_trajectory(state))
+        np.testing.assert_allclose(path[0], env.start, atol=1e-6)
+        np.testing.assert_allclose(path[-1], env.goal, atol=1e-6)
+
+    def test_path_shape(self, constrained_setup):
+        solver, state, _, _ = constrained_setup
+        assert solver.full_trajectory(state).shape == (102, 3)
+
+    def test_initial_trajectory_straight_line(self, constrained_setup):
+        solver, state, _, env = constrained_setup
+        path = np.asarray(solver.full_trajectory(state))
+        expected_x = np.linspace(env.start[0], env.goal[0], 102)
+        np.testing.assert_allclose(path[:, 0], expected_x, atol=1e-5)
+
+    def test_single_step(self, constrained_setup):
+        solver, state, oracle, env = constrained_setup
+        new_state, aux = jax.jit(solver.step)(state, oracle)
+        assert np.isfinite(float(aux.field_loss))
+        assert np.isfinite(float(aux.trajectory_loss))
+        assert int(new_state.step_count) == 1
+        # endpoints still pinned
+        path = np.asarray(solver.full_trajectory(new_state))
+        np.testing.assert_allclose(path[0], env.start, atol=1e-6)
+        np.testing.assert_allclose(path[-1], env.goal, atol=1e-6)
+
+    def test_hundred_steps_finite(self, constrained_setup):
+        solver, state, oracle, _ = constrained_setup
+        final, aux = jax.jit(lambda s, o: solver.run(s, o, 100))(state, oracle)
+        assert np.isfinite(np.asarray(final.trajectory)).all()
+        assert np.isfinite(np.asarray(aux.trajectory_loss)).all()
+        assert np.isfinite(np.asarray(final.constraint_multipliers)).all()
+        assert (np.asarray(final.collision_multipliers) >= 0).all()
+        assert int(final.step_count) == 100
+
+    def test_converges_to_collision_free_path(self):
+        """The reference has no such assertion (its own demo scene, the
+        two-wall S-curve, is NOT reliably solved even by the reference at its
+        1000-iteration budget — verified by running /root/reference in place).
+        The car/parking scene from run_planner.py IS reliably solved: assert a
+        collision-free dense path at 700 iterations."""
+        from nfopp_tpu.worlds import RectangleOracle, car_environment, rectangle_collision
+
+        env = car_environment()
+        pts, mask = pad_obstacle_points(env.obstacle_points.astype(np.float32), 64)
+        oracle = RectangleOracle(
+            jnp.asarray(pts),
+            jnp.asarray(mask),
+            jnp.asarray([-0.3, 0.2, -0.3, 0.2], jnp.float32),
+            jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
+        )
+        solver = ConstrainedSolver(run_planner_config(), rectangle_collision)
+        state = solver.init_state(
+            jax.random.PRNGKey(0), env.start, env.goal, jnp.asarray(env.bounds), oracle
+        )
+        final, aux = jax.jit(lambda s, o: solver.run(s, o, 700))(state, oracle)
+        path = np.asarray(solver.full_trajectory(final))
+        dense = np.concatenate(
+            [
+                np.linspace(path[i], path[i + 1], 5, endpoint=False)
+                for i in range(len(path) - 1)
+            ]
+        )
+        hits = np.asarray(rectangle_collision(oracle, jnp.asarray(dense, jnp.float32)))
+        assert hits.mean() < 0.02, f"{hits.mean():.1%} of dense path in collision"
+        # the optimizer made progress (loss can go negative: Lagrangian terms)
+        assert float(aux.trajectory_loss[-1]) < float(aux.trajectory_loss[0])
+
+    def test_update_goal_clamps_tail(self, constrained_setup):
+        solver, state, oracle, env = constrained_setup
+        state, _ = jax.jit(lambda s, o: solver.run(s, o, 20))(state, oracle)
+        new_goal = jnp.asarray([2.0, 2.0, 0.5], jnp.float32)
+        updated = jax.jit(solver.update_goal)(state, new_goal)
+        assert int(updated.step_count) == 0
+        path = np.asarray(solver.full_trajectory(updated))
+        np.testing.assert_allclose(path[-1], np.asarray(new_goal), atol=1e-6)
+
+    def test_update_start_tracks_robot(self, constrained_setup):
+        solver, state, oracle, env = constrained_setup
+        new_start = jnp.asarray([0.7, 0.6, 0.1], jnp.float32)
+        updated = jax.jit(solver.update_start)(state, new_start)
+        path = np.asarray(solver.full_trajectory(updated))
+        np.testing.assert_allclose(path[0], np.asarray(new_start), atol=1e-6)
+
+    def test_reparametrization_preserves_endpoints_and_spacing(self, constrained_setup):
+        solver, state, oracle, _ = constrained_setup
+        final, _ = jax.jit(lambda s, o: solver.run(s, o, 50))(state, oracle)
+        path = np.asarray(solver.full_trajectory(final))
+        seg = np.linalg.norm(np.diff(path[:, :2], axis=0), axis=1)
+        # arc-length reparametrization keeps spacing roughly uniform
+        assert seg.max() < 6 * max(seg.mean(), 1e-4)
+
+
+class TestHolonomicSolver:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        env = two_walls_environment()
+        oracle = make_circle_oracle(env)
+        config = SolverConfig(
+            onf=ONFConfig(mean=1.5, sigma=1.0, use_cos=True, angle_encoding=False),
+            collision_lr=1e-3,
+            trajectory_lr=1e-2,
+            trajectory_betas=(0.9, 0.999),
+            trajectory_random_offset=0.02,
+            collision_weight=0.01,
+            velocity_hessian_weight=3.0,
+            random_field_points=10,
+            init_collision_iteration=100,
+        )
+        solver = HolonomicSolver(config, circle_collision)
+        state = solver.init_state(
+            jax.random.PRNGKey(1), env.start, env.goal, jnp.asarray(env.bounds), oracle
+        )
+        return solver, state, oracle, env
+
+    def test_path_shape_and_endpoints(self, setup):
+        solver, state, _, env = setup
+        path = np.asarray(solver.full_trajectory(state))
+        assert path.shape == (102, 2)
+        np.testing.assert_allclose(path[0], env.start, atol=1e-6)
+        np.testing.assert_allclose(path[-1], env.goal, atol=1e-6)
+
+    def test_steps_run_and_converge(self, setup):
+        solver, state, oracle, _ = setup
+        final, aux = jax.jit(lambda s, o: solver.run(s, o, 500))(state, oracle)
+        assert np.isfinite(np.asarray(final.trajectory)).all()
+        path = np.asarray(solver.full_trajectory(final))
+        hits = np.asarray(circle_collision(oracle, jnp.asarray(path, jnp.float32)))
+        assert hits.mean() < 0.05
+
+    def test_update_goal(self, setup):
+        solver, state, _, _ = setup
+        updated = solver.update_goal(state, jnp.asarray([1.0, 2.0], jnp.float32))
+        path = np.asarray(solver.full_trajectory(updated))
+        np.testing.assert_allclose(path[-1], [1.0, 2.0], atol=1e-6)
+
+
+class TestBatchedSolver:
+    def test_vmap_over_problems(self):
+        """The batch axis: per-problem fields, keys, and endpoints."""
+        env = two_walls_se2_environment()
+        oracle = make_circle_oracle(env)
+        solver = ConstrainedSolver(run_planner_config(), circle_collision)
+
+        batch = 4
+        keys = jax.random.split(jax.random.PRNGKey(7), batch)
+        starts = jnp.tile(jnp.asarray(env.start)[None], (batch, 1))
+        goals = jnp.tile(jnp.asarray(env.goal)[None], (batch, 1))
+        bounds = jnp.tile(jnp.asarray(env.bounds, jnp.float32)[None], (batch, 1))
+        oracles = jax.tree_util.tree_map(lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), oracle)
+
+        init = jax.vmap(lambda k, s, g, b, o: solver.init_state(k, s, g, b, o))
+        states = init(keys, starts, goals, bounds, oracles)
+        assert states.trajectory.shape == (batch, 100, 3)
+
+        run = jax.jit(jax.vmap(lambda s, o: solver.run(s, o, 30)))
+        finals, aux = run(states, oracles)
+        assert finals.trajectory.shape == (batch, 100, 3)
+        assert aux.trajectory_loss.shape == (batch, 30)
+        # different RNG streams -> different trajectories
+        t = np.asarray(finals.trajectory)
+        assert not np.allclose(t[0], t[1])
