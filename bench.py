@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Throughput benchmark: simultaneous NFOPP solves/s on one chip.
+
+Workload: the reference demo configuration (scripts/run_planner.py — SE(2)
+constrained planner, car/parking scene, rectangle footprint, trajectory length
+100, 1000 optimization iterations per solve), batched over B problems with
+per-problem field parameters, multipliers, replay buffers, and RNG streams.
+The full iteration budget runs on-device via lax.scan.
+
+Baseline: the PyTorch reference measured in place on this machine's CPU
+(see BASELINE_MEASURED.md): 7.97 ms/iteration single problem sequentially
+=> 0.1255 solves/s at the same 1000-iteration budget.
+
+Prints exactly one JSON line to stdout; diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SOLVES_PER_S = 1.0 / 7.966  # measured reference: 7.966 ms/iter * 1000
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=1024, help="problems per chip")
+    parser.add_argument("--steps", type=int, default=1000, help="iterations per solve")
+    parser.add_argument("--timed-steps", type=int, default=200,
+                        help="steps in each timed chunk")
+    parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from nfopp_tpu.solver import ConstrainedSolver, run_planner_config
+    from nfopp_tpu.worlds import (
+        RectangleOracle,
+        car_environment,
+        pad_obstacle_points,
+        rectangle_collision,
+    )
+
+    device = jax.devices()[0]
+    log(f"device: {device}, batch={args.batch}, steps={args.steps}")
+
+    env = car_environment()
+    pts, mask = pad_obstacle_points(env.obstacle_points.astype(np.float32), 64)
+    oracle = RectangleOracle(
+        jnp.asarray(pts),
+        jnp.asarray(mask),
+        jnp.asarray([-0.3, 0.2, -0.3, 0.2], jnp.float32),
+        jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
+    )
+    solver = ConstrainedSolver(run_planner_config(), rectangle_collision)
+
+    batch = args.batch
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    starts = jnp.tile(jnp.asarray(env.start)[None], (batch, 1))
+    goals = jnp.tile(jnp.asarray(env.goal)[None], (batch, 1))
+    bounds = jnp.tile(jnp.asarray(env.bounds, jnp.float32)[None], (batch, 1))
+    oracles = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), oracle
+    )
+
+    t0 = time.time()
+    init = jax.jit(jax.vmap(lambda k, s, g, b: solver.init_state(k, s, g, b, oracle)))
+    states = jax.block_until_ready(init(keys, starts, goals, bounds))
+    log(f"init: {time.time() - t0:.1f}s")
+
+    chunk = args.timed_steps
+    run = jax.jit(lambda s, o: jax.vmap(solver.run, in_axes=(0, 0, None))(s, o, chunk))
+
+    t0 = time.time()
+    warm, _ = run(states, oracles)
+    jax.block_until_ready(warm)
+    log(f"compile+warmup ({chunk} steps): {time.time() - t0:.1f}s")
+
+    # timed: full iteration budget in chunks
+    n_chunks = max(1, args.steps // chunk)
+    t0 = time.time()
+    s = states
+    for _ in range(n_chunks):
+        s, aux = run(s, oracles)
+    jax.block_until_ready(s)
+    elapsed = time.time() - t0
+    steps_done = n_chunks * chunk
+
+    per_step_us = elapsed / steps_done / batch * 1e6
+    solves_per_s = batch * (steps_done / args.steps) / elapsed
+    log(f"{steps_done} steps x {batch} problems in {elapsed:.2f}s "
+        f"({per_step_us:.2f} us/step/problem)")
+
+    # quality sanity: fraction of problems with a collision-free final path
+    from nfopp_tpu.solver.tracking import evaluate_path
+
+    eval_fn = jax.jit(
+        jax.vmap(
+            lambda st, o: evaluate_path(
+                rectangle_collision, o, solver.full_trajectory(st)
+            )
+        )
+    )
+    collides, length = eval_fn(s, oracles)
+    feasible_frac = float(1.0 - np.asarray(collides).mean())
+    log(f"feasible fraction after {steps_done} steps: {feasible_frac:.3f}, "
+        f"mean length {float(np.asarray(length).mean()):.3f}")
+
+    # p50 replan latency: one solver step on the whole batch (anytime mode)
+    step1 = jax.jit(lambda s, o: jax.vmap(solver.run, in_axes=(0, 0, None))(s, o, 1))
+    jax.block_until_ready(step1(s, oracles))  # compile
+    lat = []
+    for _ in range(20):
+        t1 = time.time()
+        out, _ = step1(s, oracles)
+        jax.block_until_ready(out)
+        lat.append(time.time() - t1)
+    p50_ms = float(np.median(lat) * 1e3)
+    log(f"p50 batched step latency: {p50_ms:.2f} ms")
+
+    result = {
+        "metric": "nfopp_solves_per_s_per_chip",
+        "value": round(solves_per_s, 3),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / REFERENCE_SOLVES_PER_S, 1),
+        "batch": batch,
+        "iterations_per_solve": args.steps,
+        "us_per_step_per_problem": round(per_step_us, 3),
+        "feasible_fraction": round(feasible_frac, 3),
+        "p50_batched_step_ms": round(p50_ms, 3),
+        "device": str(device),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Batched, mesh-sharded planning: solve thousands of NFOPP problems at once.
+
+This is the scale-out layer the reference lacks entirely (SURVEY.md §2:
+single device, single trajectory, single field). `BatchPlanner` vmaps the
+solver over a problem batch and shards the batch axis over a device mesh;
+XLA partitions every step along that axis with zero hot-loop communication.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..solver.tracking import TrackingResult, run_with_tracking
+from .mesh import batch_sharding, problem_mesh, shard_batch
+
+__all__ = ["BatchPlanner"]
+
+
+class BatchPlanner:
+    """Vectorized front end over a `ConstrainedSolver`/`HolonomicSolver`.
+
+    All array arguments carry a leading batch axis; oracle parameters are
+    batched too (per-problem worlds). `mesh=None` builds a 1-D mesh over all
+    visible devices. Batch size must be divisible by the mesh size.
+    """
+
+    def __init__(self, solver, mesh: Mesh | None = None):
+        self.solver = solver
+        self.mesh = mesh if mesh is not None else problem_mesh()
+        self._sharding = batch_sharding(self.mesh)
+
+        self._init = jax.jit(
+            jax.vmap(lambda k, s, g, b, o: solver.init_state(k, s, g, b, o)),
+            out_shardings=self._sharding,
+        )
+        self._run = jax.jit(
+            jax.vmap(solver.run, in_axes=(0, 0, None)),
+            static_argnums=2,
+            out_shardings=self._sharding,
+        )
+        self._track = jax.jit(
+            jax.vmap(
+                partial(run_with_tracking, solver), in_axes=(0, 0, None, None, None)
+            ),
+            static_argnums=(2, 3, 4),
+            out_shardings=self._sharding,
+        )
+
+    def init_batch(
+        self,
+        key: jax.Array,
+        starts: jnp.ndarray,
+        goals: jnp.ndarray,
+        bounds: jnp.ndarray,
+        oracle_params: Any,
+    ) -> Any:
+        """Build a sharded batch of solver states.
+
+        `key` is a single PRNG key (split per problem) or a [B]-batch of keys.
+        """
+        batch = starts.shape[0]
+        if key.ndim == 1:
+            keys = jax.random.split(key, batch)
+        else:
+            keys = key
+        args = (keys, starts, goals, bounds)
+        args = tuple(shard_batch(jnp.asarray(a), self.mesh) for a in args)
+        oracle_params = shard_batch(oracle_params, self.mesh)
+        return self._init(*args, oracle_params)
+
+    def run(self, states: Any, oracle_params: Any, num_steps: int):
+        """Advance every problem `num_steps` steps; returns (states, aux)."""
+        return self._run(states, oracle_params, num_steps)
+
+    def solve(
+        self,
+        states: Any,
+        oracle_params: Any,
+        max_iterations: int = 1000,
+        min_iterations: int = 200,
+        check_freq: int = 50,
+    ) -> TrackingResult:
+        """Benchmark-mode solve with per-problem best-path tracking/early stop
+        (scripts/run_bench_mr.py semantics, batched)."""
+        return self._track(
+            states, oracle_params, max_iterations, min_iterations, check_freq
+        )
+
+    def paths(self, states: Any) -> jnp.ndarray:
+        """[B, N+2, d] full trajectories with pinned endpoints."""
+        return jax.vmap(self.solver.full_trajectory)(states)

@@ -1,0 +1,4 @@
+"""Anytime replanning service + path postprocessing."""
+
+from .postprocessor import PathPostprocessor  # noqa: F401
+from .replanner import ReplanningService  # noqa: F401

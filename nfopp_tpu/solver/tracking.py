@@ -1,0 +1,132 @@
+"""Benchmark-mode solve loop: periodic path evaluation, best-path tracking,
+early stop — device-side.
+
+Reproduces the control flow of `scripts/run_bench_mr.py:111-133`: step the
+planner up to `max_iterations`; every `check_freq` iterations past
+`min_iterations` evaluate the path against the ground-truth oracle; remember
+the shortest feasible path; stop at the first feasible path that no longer
+improves; finally return the current path unless it collides and a feasible
+best exists.
+
+The reference breaks out of a Python loop; here a `lax.while_loop` over
+`check_freq`-step scanned chunks stops genuinely early (under vmap it runs
+until every problem in the shard is done). Path evaluation replaces the C++
+OMPL interpolated validity check (BenchmarkAdapter.cpp:201-208) with
+fixed-count segment sampling on device.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.math import wrap_angle
+
+__all__ = ["TrackingResult", "evaluate_path", "run_with_tracking"]
+
+
+class TrackingResult(NamedTuple):
+    state: Any  # final solver state
+    path: jnp.ndarray  # [N+2, d] returned path (best-feasible fallback applied)
+    length: jnp.ndarray  # xy length of `path`
+    feasible: jnp.ndarray  # bool: `path` is collision-free
+    iterations: jnp.ndarray  # int32: solver steps actually taken
+
+
+def _dense_path(full_path: jnp.ndarray, samples_per_segment: int) -> jnp.ndarray:
+    """[M, d] -> [(M-1)*S + 1, d] dense samples; xy lerp + shortest-arc angle."""
+    a = full_path[:-1]  # [M-1, d]
+    b = full_path[1:]
+    fractions = jnp.arange(samples_per_segment, dtype=full_path.dtype) / samples_per_segment
+    delta = b - a
+    if full_path.shape[1] == 3:
+        delta = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
+    # [M-1, S, d]
+    dense = a[:, None, :] + fractions[None, :, None] * delta[:, None, :]
+    dense = dense.reshape(-1, full_path.shape[1])
+    return jnp.concatenate([dense, full_path[-1:]], axis=0)
+
+
+def evaluate_path(
+    oracle_fn,
+    oracle_params: Any,
+    full_path: jnp.ndarray,
+    samples_per_segment: int = 5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(collides, xy_length) of a path, like the reference's evaluatePath
+    (BenchmarkAdapter.cpp:201-208): interpolate, validity-check, measure."""
+    dense = _dense_path(full_path, samples_per_segment)
+    collides = jnp.any(oracle_fn(oracle_params, dense))
+    seg = full_path[1:, :2] - full_path[:-1, :2]
+    length = jnp.sum(jnp.sqrt(jnp.sum(seg * seg, axis=-1)))
+    return collides, length
+
+
+def run_with_tracking(
+    solver,
+    state: Any,
+    oracle_params: Any,
+    max_iterations: int = 1000,
+    min_iterations: int = 200,
+    check_freq: int = 50,
+    samples_per_segment: int = 5,
+) -> TrackingResult:
+    """Benchmark solve loop for one problem (vmap for a batch).
+
+    max_iterations is rounded up to a whole number of check_freq chunks.
+    """
+    num_chunks = -(-max_iterations // check_freq)
+    path0 = solver.full_trajectory(state)
+
+    def chunk_body(carry):
+        state, best_path, best_length, done, iterations, chunk = carry
+        stepped, _ = solver.run(state, oracle_params, check_freq)
+        # Under vmap, while_loop keeps executing the body for lanes whose cond
+        # is already false — freeze finished problems so their result is the
+        # state at their own stopping point, matching the reference's `break`.
+        new_state = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(done, old, new), state, stepped
+        )
+        iterations = jnp.where(done, iterations, iterations + check_freq)
+        path = solver.full_trajectory(new_state)
+        collides, length = evaluate_path(
+            solver.oracle_fn, oracle_params, path, samples_per_segment
+        )
+        check_active = (~done) & (iterations > min_iterations)
+        feasible = check_active & ~collides
+        improves = feasible & (length < best_length)
+        best_path = jnp.where(improves, path, best_path)
+        best_length = jnp.where(improves, length, best_length)
+        # Reference semantics: first feasible-but-not-improving check -> stop.
+        done = done | (feasible & ~improves)
+        return new_state, best_path, best_length, done, iterations, chunk + 1
+
+    def cond(carry):
+        *_, done, _, chunk = carry
+        return (~done) & (chunk < num_chunks)
+
+    init = (
+        state,
+        path0,
+        jnp.asarray(jnp.inf, jnp.float32),
+        jnp.asarray(False),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    state, best_path, best_length, done, iterations, _ = jax.lax.while_loop(
+        cond, chunk_body, init
+    )
+
+    final_path = solver.full_trajectory(state)
+    final_collides, final_length = evaluate_path(
+        solver.oracle_fn, oracle_params, final_path, samples_per_segment
+    )
+    has_best = jnp.isfinite(best_length)
+    use_best = final_collides & has_best
+    path = jnp.where(use_best, best_path, final_path)
+    length = jnp.where(use_best, best_length, final_length)
+    feasible = ~final_collides | has_best
+    return TrackingResult(
+        state=state, path=path, length=length, feasible=feasible, iterations=iterations
+    )

@@ -16,3 +16,12 @@ from .environments import (  # noqa: F401
     two_walls_environment,
     two_walls_se2_environment,
 )
+from .scenarios import (  # noqa: F401
+    GridScenario,
+    corridor,
+    dilate,
+    parse_movingai_map,
+    parse_movingai_scen,
+    random_forest,
+    random_free_pose,
+)

@@ -59,10 +59,12 @@ class RectangleOracle(NamedTuple):
 
 
 class GridOracle(NamedTuple):
-    """Occupancy-bitmap world: occupied[i, j] covers cell (origin + (i, j)*res)."""
+    """Occupancy-bitmap world. occupancy[i, j] covers the world cell with
+    x in [origin_x + j*res, origin_x + (j+1)*res), y likewise with row i —
+    i.e. rows index y, columns index x (image convention)."""
 
     occupancy: jnp.ndarray  # [H, W] bool/float, True = collision
-    origin: jnp.ndarray  # [2] world coords of cell (0, 0) corner
+    origin: jnp.ndarray  # [2] world (x, y) of the grid's lower corner
     resolution: jnp.ndarray  # scalar cell size
     bounds: jnp.ndarray  # [4]
 
@@ -121,9 +123,10 @@ def rectangle_collision(oracle: RectangleOracle, positions: jnp.ndarray) -> jnp.
 def grid_collision(oracle: GridOracle, positions: jnp.ndarray) -> jnp.ndarray:
     """[M, >=2] query poses -> [M] bool via nearest-cell occupancy lookup."""
     xy = positions[:, :2]
-    cells = jnp.floor((xy - oracle.origin) / oracle.resolution).astype(jnp.int32)
     h, w = oracle.occupancy.shape
-    i = jnp.clip(cells[:, 0], 0, h - 1)
-    j = jnp.clip(cells[:, 1], 0, w - 1)
+    j = jnp.floor((xy[:, 0] - oracle.origin[0]) / oracle.resolution).astype(jnp.int32)
+    i = jnp.floor((xy[:, 1] - oracle.origin[1]) / oracle.resolution).astype(jnp.int32)
+    i = jnp.clip(i, 0, h - 1)
+    j = jnp.clip(j, 0, w - 1)
     occupied = oracle.occupancy[i, j].astype(bool)
     return occupied | boundary_collision(oracle.bounds, xy)

@@ -1,0 +1,199 @@
+"""Benchmark scenario worlds: generators + MovingAI map loading.
+
+Pure-array replacements for the bench-mr C++ environment builders the reference
+binds to (BenchmarkAdapter.cpp:27-40: MovingAI scenario loader, generated
+corridor / random grids). Each scenario yields an occupancy grid + bounds +
+start/goal, convertible to a device `GridOracle`. Robot footprints are folded
+into the grid by binary dilation (host-side, once per scenario), so the hot
+loop stays a pure bitmap lookup.
+
+Suites mirror the reference experiments (SURVEY.md §6): corridor 100x100
+(branches=100, radius=3), random grid 100x100 (obstacle_ratio=0.03), MovingAI
+maps (e.g. Berlin_0_256).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .oracle import GridOracle
+
+__all__ = [
+    "GridScenario",
+    "random_forest",
+    "corridor",
+    "parse_movingai_map",
+    "parse_movingai_scen",
+    "dilate",
+    "random_free_pose",
+]
+
+
+@dataclass(frozen=True)
+class GridScenario:
+    """An occupancy-grid world. blocked[i, j]: row i = y cell, col j = x cell."""
+
+    blocked: np.ndarray  # [H, W] bool
+    resolution: float  # world units per cell
+    origin: tuple[float, float] = (0.0, 0.0)  # world coords of cell (0, 0) corner
+    start: np.ndarray | None = None  # [3] optional suggested endpoints
+    goal: np.ndarray | None = None
+
+    @property
+    def bounds(self) -> tuple[float, float, float, float]:
+        h, w = self.blocked.shape
+        ox, oy = self.origin
+        return (ox, ox + w * self.resolution, oy, oy + h * self.resolution)
+
+    def oracle(self, footprint_radius: float = 0.0) -> GridOracle:
+        """Device oracle; a disc footprint is folded in by grid dilation."""
+        blocked = self.blocked
+        if footprint_radius > 0:
+            blocked = dilate(blocked, int(np.ceil(footprint_radius / self.resolution)))
+        return GridOracle(
+            occupancy=jnp.asarray(blocked),
+            origin=jnp.asarray(self.origin, jnp.float32),  # world (x, y) corner
+            resolution=jnp.float32(self.resolution),
+            bounds=jnp.asarray(self.bounds, jnp.float32),
+        )
+
+
+def dilate(blocked: np.ndarray, radius_cells: int) -> np.ndarray:
+    """Binary dilation with a disc structuring element (numpy shifts only)."""
+    if radius_cells <= 0:
+        return blocked
+    out = blocked.copy()
+    r = radius_cells
+    for di in range(-r, r + 1):
+        for dj in range(-r, r + 1):
+            if di * di + dj * dj > r * r or (di == 0 and dj == 0):
+                continue
+            shifted = np.zeros_like(blocked)
+            src_i = slice(max(0, -di), blocked.shape[0] - max(0, di))
+            dst_i = slice(max(0, di), blocked.shape[0] - max(0, -di))
+            src_j = slice(max(0, -dj), blocked.shape[1] - max(0, dj))
+            dst_j = slice(max(0, dj), blocked.shape[1] - max(0, -dj))
+            shifted[dst_i, dst_j] = blocked[src_i, src_j]
+            out |= shifted
+    return out
+
+
+def random_free_pose(rng: np.random.RandomState, scenario: GridScenario,
+                     margin_cells: int = 2) -> np.ndarray:
+    """[3] pose at a uniformly random free cell center with random heading."""
+    free_i, free_j = np.where(~scenario.blocked)
+    keep = (
+        (free_i >= margin_cells)
+        & (free_i < scenario.blocked.shape[0] - margin_cells)
+        & (free_j >= margin_cells)
+        & (free_j < scenario.blocked.shape[1] - margin_cells)
+    )
+    free_i, free_j = free_i[keep], free_j[keep]
+    k = rng.randint(len(free_i))
+    ox, oy = scenario.origin
+    x = ox + (free_j[k] + 0.5) * scenario.resolution
+    y = oy + (free_i[k] + 0.5) * scenario.resolution
+    return np.array([x, y, rng.uniform(-np.pi, np.pi)], np.float32)
+
+
+def random_forest(
+    seed: int, size: tuple[int, int] = (100, 100), obstacle_ratio: float = 0.03,
+    resolution: float = 1.0,
+) -> GridScenario:
+    """Uniform random single-cell obstacles (bench-mr 'random grid' world)."""
+    rng = np.random.RandomState(seed)
+    blocked = rng.rand(*size) < obstacle_ratio
+    scenario = GridScenario(blocked=blocked, resolution=resolution)
+    rng2 = np.random.RandomState(seed + 1)
+    start = random_free_pose(rng2, scenario)
+    goal = random_free_pose(rng2, scenario)
+    return GridScenario(blocked, resolution, scenario.origin, start, goal)
+
+
+def corridor(
+    seed: int, size: int = 100, branches: int = 100, radius: int = 3,
+    resolution: float = 1.0,
+) -> GridScenario:
+    """Random connected corridor network carved from solid rock (bench-mr
+    'corridor' world style): from random points on the existing corridor, carve
+    axis-aligned segments of width 2*radius."""
+    rng = np.random.RandomState(seed)
+    blocked = np.ones((size, size), bool)
+
+    def carve(i0, j0, i1, j1):
+        lo_i, hi_i = sorted((i0, i1))
+        lo_j, hi_j = sorted((j0, j1))
+        blocked[
+            max(0, lo_i - radius) : min(size, hi_i + radius + 1),
+            max(0, lo_j - radius) : min(size, hi_j + radius + 1),
+        ] = False
+
+    # seed corridor in the middle
+    anchors = [(size // 2, size // 2)]
+    carve(size // 2, size // 2, size // 2, size // 2)
+    for _ in range(branches):
+        ai, aj = anchors[rng.randint(len(anchors))]
+        length = rng.randint(size // 8, size // 2)
+        if rng.rand() < 0.5:
+            ni = int(np.clip(ai + rng.choice([-1, 1]) * length, radius, size - radius - 1))
+            carve(ai, aj, ni, aj)
+            anchors.append((ni, aj))
+        else:
+            nj = int(np.clip(aj + rng.choice([-1, 1]) * length, radius, size - radius - 1))
+            carve(ai, aj, ai, nj)
+            anchors.append((ai, nj))
+
+    scenario = GridScenario(blocked=blocked, resolution=resolution)
+    rng2 = np.random.RandomState(seed + 1)
+    start = random_free_pose(rng2, scenario)
+    goal = random_free_pose(rng2, scenario)
+    return GridScenario(blocked, resolution, scenario.origin, start, goal)
+
+
+def parse_movingai_map(text: str, resolution: float = 1.0) -> GridScenario:
+    """Parse a MovingAI .map file ('type octile / height / width / map' header;
+    '.', 'G', 'S' passable; '@', 'O', 'T', 'W' blocked)."""
+    lines = text.strip().splitlines()
+    header = {}
+    idx = 0
+    while idx < len(lines) and lines[idx].strip().lower() != "map":
+        parts = lines[idx].split()
+        if len(parts) == 2:
+            header[parts[0].lower()] = parts[1]
+        idx += 1
+    height = int(header["height"])
+    width = int(header["width"])
+    grid_lines = lines[idx + 1 : idx + 1 + height]
+    blocked = np.ones((height, width), bool)
+    passable = {".", "G", "S"}
+    for i, line in enumerate(grid_lines):
+        row = np.array([c not in passable for c in line[:width]])
+        blocked[i, : len(row)] = row
+    return GridScenario(blocked=blocked, resolution=resolution)
+
+
+def parse_movingai_scen(text: str) -> list[dict]:
+    """Parse a MovingAI .scen file into dicts with map name, start, goal cells."""
+    entries = []
+    for line in text.strip().splitlines():
+        if line.lower().startswith("version"):
+            continue
+        parts = line.split()
+        if len(parts) < 9:
+            continue
+        entries.append(
+            {
+                "bucket": int(parts[0]),
+                "map": parts[1],
+                "width": int(parts[2]),
+                "height": int(parts[3]),
+                "start_x": int(parts[4]),
+                "start_y": int(parts[5]),
+                "goal_x": int(parts[6]),
+                "goal_y": int(parts[7]),
+                "optimal_length": float(parts[8]),
+            }
+        )
+    return entries
