@@ -37,6 +37,12 @@ class BatchPlanner:
             jax.vmap(lambda k, s, g, b, o: solver.init_state(k, s, g, b, o)),
             out_shardings=self._sharding,
         )
+        self._init_with_traj = jax.jit(
+            jax.vmap(
+                lambda k, s, g, b, o, t: solver.init_state(k, s, g, b, o, trajectory=t)
+            ),
+            out_shardings=self._sharding,
+        )
         self._run = jax.jit(
             jax.vmap(solver.run, in_axes=(0, 0, None)),
             static_argnums=2,
@@ -57,10 +63,13 @@ class BatchPlanner:
         goals: jnp.ndarray,
         bounds: jnp.ndarray,
         oracle_params: Any,
+        trajectories: jnp.ndarray | None = None,
     ) -> Any:
         """Build a sharded batch of solver states.
 
         `key` is a single PRNG key (split per problem) or a [B]-batch of keys.
+        `trajectories` [B, N, d] optionally overrides the straight-line
+        initializer (e.g. batched wavefront A* paths).
         """
         batch = starts.shape[0]
         if key.ndim == 1:
@@ -70,7 +79,10 @@ class BatchPlanner:
         args = (keys, starts, goals, bounds)
         args = tuple(shard_batch(jnp.asarray(a), self.mesh) for a in args)
         oracle_params = shard_batch(oracle_params, self.mesh)
-        return self._init(*args, oracle_params)
+        if trajectories is None:
+            return self._init(*args, oracle_params)
+        trajectories = shard_batch(jnp.asarray(trajectories), self.mesh)
+        return self._init_with_traj(*args, oracle_params, trajectories)
 
     def run(self, states: Any, oracle_params: Any, num_steps: int):
         """Advance every problem `num_steps` steps; returns (states, aux)."""

@@ -1,0 +1,122 @@
+"""Tests for the path metrics suite: analytic goldens + native/numpy parity."""
+import numpy as np
+import pytest
+
+from nfopp_tpu.bench import (
+    PathStatistics,
+    ResultsLog,
+    native_binding,
+    path_statistics,
+    path_stats_numpy,
+)
+
+
+def circle_path(radius=2.0, n=100, span=np.pi):
+    t = np.linspace(0, span, n)
+    x = radius * np.cos(t)
+    y = radius * np.sin(t)
+    theta = t + np.pi / 2  # tangent heading
+    return np.stack([x, y, theta], axis=1)
+
+
+def straight_path(n=50):
+    x = np.linspace(0, 5, n)
+    return np.stack([x, np.zeros(n), np.zeros(n)], axis=1)
+
+
+class TestNumpyMetrics:
+    def test_straight_line(self):
+        raw = path_stats_numpy(straight_path())
+        np.testing.assert_allclose(raw[0], 5.0, atol=1e-9)  # length
+        np.testing.assert_allclose(raw[1], 0.0, atol=1e-9)  # max curvature
+        np.testing.assert_allclose(raw[3], 0.0, atol=1e-9)  # aol
+        np.testing.assert_allclose(raw[4], 0.0, atol=1e-6)  # smoothness
+        assert raw[5] == 0  # cusps
+
+    def test_circle_curvature(self):
+        raw = path_stats_numpy(circle_path(radius=2.0))
+        np.testing.assert_allclose(raw[0], 2.0 * np.pi, rtol=1e-3)  # half circle
+        np.testing.assert_allclose(raw[1], 0.5, rtol=1e-2)  # k = 1/r
+        # integrated curvature ~ k * length = 0.5 * pi*2 = pi
+        np.testing.assert_allclose(raw[2], np.pi, rtol=2e-2)
+        # aol = total heading change / length = pi / (2 pi) = 0.5
+        np.testing.assert_allclose(raw[3], 0.5, rtol=2e-2)
+
+    def test_cusp_detection(self):
+        # forward then sharp reverse: one cusp
+        path = np.array(
+            [[0, 0, 0], [1, 0, 0], [2, 0, 0], [1.0, 0.01, 0], [0.0, 0.02, 0]],
+            np.float64,
+        )
+        raw = path_stats_numpy(path)
+        assert raw[5] == 1
+
+    def test_clearing_distances(self):
+        obstacles = np.array([[0.0, 1.0], [5.0, 1.0]])
+        raw = path_stats_numpy(straight_path(), obstacles)
+        np.testing.assert_allclose(raw[8], 1.0, atol=1e-9)  # min clearing
+        assert raw[6] > 1.0  # mean above min
+        assert raw[9] == raw[9] >= raw[7] >= raw[8]
+
+    def test_duplicate_points_safe(self):
+        path = straight_path()
+        path[10] = path[11]
+        raw = path_stats_numpy(path)
+        assert np.isfinite(raw).all()
+
+
+@pytest.mark.skipif(not native_binding.available(), reason="no C++ toolchain")
+class TestNativeParity:
+    def test_matches_numpy_on_random_paths(self):
+        rng = np.random.RandomState(0)
+        for trial in range(5):
+            steps = rng.uniform(-0.3, 0.5, (40, 2))
+            xy = np.cumsum(steps, axis=0)
+            theta = rng.uniform(-np.pi, np.pi, 40)
+            path = np.concatenate([xy, theta[:, None]], axis=1)
+            obstacles = rng.uniform(-3, 3, (20, 2))
+            a = path_stats_numpy(path, obstacles)
+            b = native_binding.path_stats_native(path, obstacles)
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-9)
+
+    def test_batch_native(self):
+        rng = np.random.RandomState(1)
+        paths = np.cumsum(rng.uniform(-0.2, 0.4, (6, 30, 3)), axis=1)
+        out = native_binding.path_stats_batch_native(paths)
+        assert out.shape == (6, 12)
+        single = native_binding.path_stats_native(paths[2])
+        np.testing.assert_allclose(out[2], single, atol=1e-12)
+
+
+class TestPathStatistics:
+    def test_full_stats_object(self):
+        stats = path_statistics(
+            circle_path(), obstacles=np.array([[0.0, 0.0]]),
+            collides=False, planner="test", goal=circle_path()[-1],
+        )
+        assert stats.path_found and not stats.path_collides
+        assert stats.exact_goal_path
+        assert stats.cusps == 0
+        d = stats.as_dict()
+        assert set(d) >= {
+            "path_length", "max_curvature", "normalized_curvature", "aol",
+            "smoothness", "mean_clearing_distance", "cusps", "planner",
+        }
+
+    def test_short_path(self):
+        stats = path_statistics(np.zeros((1, 3)))
+        assert not stats.path_found
+
+
+class TestResultsLog:
+    def test_schema_roundtrip(self, tmp_path):
+        log = ResultsLog({"type": "corridor"}, {"nfomp": {"trajectory_length": 100}})
+        stats = path_statistics(straight_path(), planner="constrained_onf_planner")
+        log.log_run("constrained_onf_planner", straight_path(), stats)
+        out = log.save(tmp_path / "results.json")
+        doc = ResultsLog.load(out)
+        run = doc["runs"][0]
+        plan = run["plans"]["constrained_onf_planner"]
+        assert len(plan["trajectory"]) == 50
+        assert plan["stats"]["path_length"] == pytest.approx(5.0)
+        assert run["environment"]["type"] == "corridor"
