@@ -36,12 +36,16 @@ def main() -> None:
     parser.add_argument("--timed-steps", type=int, default=200,
                         help="steps in each timed chunk")
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    parser.add_argument("--rbg", action="store_true",
+                        help="use the fast RBG PRNG instead of threefry")
     args = parser.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.rbg:
+        jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from nfopp_tpu.solver import ConstrainedSolver, run_planner_config

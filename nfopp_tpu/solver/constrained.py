@@ -217,24 +217,56 @@ class ConstrainedSolver:
     def step(
         self, state: ConstrainedState, oracle_params: Any
     ) -> tuple[ConstrainedState, StepAux]:
-        """One alternating optimization step (ref step(), nerf_opt_planner.py:60-71)."""
+        """One alternating optimization step (ref step(), nerf_opt_planner.py:60-71).
+
+        Schedule conds are dynamic here (single-step API parity); `run` uses a
+        statically-scheduled variant — under vmap `lax.cond` lowers to select
+        and EXECUTES both branches, so dynamic gating saves nothing in batched
+        mode.
+        """
         cfg = self.config
         key, k_field, k_traj = jax.random.split(state.key, 3)
         state = state._replace(key=key)
 
-        do_field = state.step_count % cfg.optimize_collision_model_freq == 0
-        state, field_loss = jax.lax.cond(
-            do_field,
-            lambda s: self._field_step(s, oracle_params, k_field),
-            lambda s: (s, jnp.zeros((), jnp.float32)),
-            state,
-        )
+        if cfg.optimize_collision_model_freq == 1:
+            state, field_loss = self._field_step(state, oracle_params, k_field)
+        else:
+            do_field = state.step_count % cfg.optimize_collision_model_freq == 0
+            state, field_loss = jax.lax.cond(
+                do_field,
+                lambda s: self._field_step(s, oracle_params, k_field),
+                lambda s: (s, jnp.zeros((), jnp.float32)),
+                state,
+            )
 
         state, traj_loss = self._trajectory_step(state, k_traj)
 
         do_reparam = state.step_count % cfg.reparametrize_trajectory_freq == 0
         state = jax.lax.cond(do_reparam, self._reparametrize, lambda s: s, state)
 
+        state = state._replace(step_count=state.step_count + 1)
+        return state, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
+
+    def _step_static(
+        self, state: ConstrainedState, oracle_params: Any, with_reparam: bool
+    ) -> tuple[ConstrainedState, StepAux]:
+        """Step with the reparametrization decision taken at trace time."""
+        cfg = self.config
+        key, k_field, k_traj = jax.random.split(state.key, 3)
+        state = state._replace(key=key)
+        if cfg.optimize_collision_model_freq == 1:
+            state, field_loss = self._field_step(state, oracle_params, k_field)
+        else:
+            do_field = state.step_count % cfg.optimize_collision_model_freq == 0
+            state, field_loss = jax.lax.cond(
+                do_field,
+                lambda s: self._field_step(s, oracle_params, k_field),
+                lambda s: (s, jnp.zeros((), jnp.float32)),
+                state,
+            )
+        state, traj_loss = self._trajectory_step(state, k_traj)
+        if with_reparam:
+            state = self._reparametrize(state)
         state = state._replace(step_count=state.step_count + 1)
         return state, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
 
@@ -374,13 +406,45 @@ class ConstrainedSolver:
     def run(
         self, state: ConstrainedState, oracle_params: Any, num_steps: int
     ) -> tuple[ConstrainedState, StepAux]:
-        """Scan `num_steps` steps on device; aux is stacked per step."""
+        """Scan `num_steps` steps on device; aux is stacked per step.
 
-        def body(carry, _):
+        When num_steps is a multiple of reparametrize_trajectory_freq the
+        schedule is compiled statically: each chunk is [1 step + reparam,
+        freq-1 plain steps] (reparametrization fires at step_count % freq == 0,
+        i.e. at the END of the first step — counts 0, freq, 2*freq, ... exactly
+        as the reference's dynamic check). This avoids vmap's execute-both-
+        branches select on the reparametrization, which otherwise runs the
+        searchsorted/gather resample EVERY step in batched mode.
+
+        The static path assumes state.step_count % freq == 0 on entry (true
+        after init / update_* which reset it, and preserved across run calls
+        with multiple-of-freq lengths); otherwise the dynamic path is used.
+        """
+        freq = self.config.reparametrize_trajectory_freq
+
+        def dyn_body(carry, _):
             new_state, aux = self.step(carry, oracle_params)
             return new_state, aux
 
-        return jax.lax.scan(body, state, None, length=num_steps)
+        if freq <= 1 or num_steps % freq != 0:
+            return jax.lax.scan(dyn_body, state, None, length=num_steps)
+
+        def plain_body(carry, _):
+            return self._step_static(carry, oracle_params, with_reparam=False)
+
+        def chunk(carry, _):
+            s, first_aux = self._step_static(carry, oracle_params, with_reparam=True)
+            s, rest_aux = jax.lax.scan(plain_body, s, None, length=freq - 1)
+            aux = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
+            )
+            return s, aux
+
+        state, aux = jax.lax.scan(chunk, state, None, length=num_steps // freq)
+        aux = jax.tree_util.tree_map(
+            lambda x: x.reshape((num_steps,) + x.shape[2:]), aux
+        )
+        return state, aux
 
     # ------------------------------------------------- live problem updates
 

@@ -127,19 +127,43 @@ class HolonomicSolver:
         key, k_field, k_traj = jax.random.split(state.key, 3)
         state = state._replace(key=key)
 
-        do_field = state.step_count % cfg.optimize_collision_model_freq == 0
-        state, field_loss = jax.lax.cond(
-            do_field,
-            lambda s: self._field_step(s, oracle_params, k_field),
-            lambda s: (s, jnp.zeros((), jnp.float32)),
-            state,
-        )
+        if cfg.optimize_collision_model_freq == 1:
+            state, field_loss = self._field_step(state, oracle_params, k_field)
+        else:
+            do_field = state.step_count % cfg.optimize_collision_model_freq == 0
+            state, field_loss = jax.lax.cond(
+                do_field,
+                lambda s: self._field_step(s, oracle_params, k_field),
+                lambda s: (s, jnp.zeros((), jnp.float32)),
+                state,
+            )
 
         state, traj_loss = self._trajectory_step(state, k_traj)
 
         do_reparam = state.step_count % cfg.reparametrize_trajectory_freq == 0
         state = jax.lax.cond(do_reparam, self._reparametrize, lambda s: s, state)
 
+        state = state._replace(step_count=state.step_count + 1)
+        return state, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
+
+    def _step_static(self, state, oracle_params, with_reparam: bool):
+        """See ConstrainedSolver._step_static."""
+        cfg = self.config
+        key, k_field, k_traj = jax.random.split(state.key, 3)
+        state = state._replace(key=key)
+        if cfg.optimize_collision_model_freq == 1:
+            state, field_loss = self._field_step(state, oracle_params, k_field)
+        else:
+            do_field = state.step_count % cfg.optimize_collision_model_freq == 0
+            state, field_loss = jax.lax.cond(
+                do_field,
+                lambda s: self._field_step(s, oracle_params, k_field),
+                lambda s: (s, jnp.zeros((), jnp.float32)),
+                state,
+            )
+        state, traj_loss = self._trajectory_step(state, k_traj)
+        if with_reparam:
+            state = self._reparametrize(state)
         state = state._replace(step_count=state.step_count + 1)
         return state, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
 
@@ -190,11 +214,31 @@ class HolonomicSolver:
         return state._replace(trajectory=reparametrize_xy(self.full_trajectory(state)))
 
     def run(self, state, oracle_params, num_steps: int):
-        def body(carry, _):
-            new_state, aux = self.step(carry, oracle_params)
-            return new_state, aux
+        """Statically-scheduled scan when possible (see ConstrainedSolver.run)."""
+        freq = self.config.reparametrize_trajectory_freq
 
-        return jax.lax.scan(body, state, None, length=num_steps)
+        def dyn_body(carry, _):
+            return self.step(carry, oracle_params)
+
+        if freq <= 1 or num_steps % freq != 0:
+            return jax.lax.scan(dyn_body, state, None, length=num_steps)
+
+        def plain_body(carry, _):
+            return self._step_static(carry, oracle_params, with_reparam=False)
+
+        def chunk(carry, _):
+            s, first_aux = self._step_static(carry, oracle_params, with_reparam=True)
+            s, rest_aux = jax.lax.scan(plain_body, s, None, length=freq - 1)
+            aux = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
+            )
+            return s, aux
+
+        state, aux = jax.lax.scan(chunk, state, None, length=num_steps // freq)
+        aux = jax.tree_util.tree_map(
+            lambda x: x.reshape((num_steps,) + x.shape[2:]), aux
+        )
+        return state, aux
 
     def update_goal(self, state: HolonomicState, goal: jnp.ndarray) -> HolonomicState:
         """Ref nerf_opt_planner.py:202-209 (no +1 offset in the base class)."""
