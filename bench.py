@@ -38,6 +38,10 @@ def main() -> None:
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     parser.add_argument("--rbg", action="store_true",
                         help="use the fast RBG PRNG instead of threefry")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 matmuls (mixed precision) in the field MLP")
+    parser.add_argument("--fused", action="store_true",
+                        help="Pallas fused field fwd+bwd kernel")
     args = parser.parse_args()
 
     import jax
@@ -67,7 +71,12 @@ def main() -> None:
         jnp.asarray([-0.3, 0.2, -0.3, 0.2], jnp.float32),
         jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
     )
-    solver = ConstrainedSolver(run_planner_config(), rectangle_collision)
+    config = run_planner_config()
+    if args.bf16:
+        config = config._replace(onf=config.onf._replace(compute_dtype="bfloat16"))
+    if args.fused:
+        config = config._replace(use_fused_field_grad=True)
+    solver = ConstrainedSolver(config, rectangle_collision)
 
     batch = args.batch
     keys = jax.random.split(jax.random.PRNGKey(0), batch)

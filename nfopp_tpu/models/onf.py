@@ -27,7 +27,12 @@ __all__ = ["ONFConfig", "init_onf_params", "onf_apply", "angle_encode", "onf_par
 
 
 class ONFConfig(NamedTuple):
-    """Static (hashable) architecture configuration for the field MLP."""
+    """Static (hashable) architecture configuration for the field MLP.
+
+    compute_dtype: 'float32' (reference parity) or 'bfloat16' (matmuls run on
+    the MXU at double rate with f32 accumulation; parameters and gradients stay
+    f32 — mixed precision).
+    """
 
     mean: float = 0.0
     sigma: float = 1.0
@@ -37,6 +42,7 @@ class ONFConfig(NamedTuple):
     angle_encoding: bool = True
     angle_harmonics: int = 10
     hidden: int = 100
+    compute_dtype: str = "float32"
 
     @property
     def fourier_features(self) -> int:
@@ -99,8 +105,17 @@ def angle_encode(biases: jnp.ndarray, theta: jnp.ndarray, harmonics: int) -> jnp
 
 def onf_apply(params: dict, x: jnp.ndarray, config: ONFConfig = ONFConfig()) -> jnp.ndarray:
     """Field forward pass: [M, 2|3] query poses -> [M, 1] occupancy logits."""
+    compute = jnp.dtype(config.compute_dtype)
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a.astype(compute), w.astype(compute),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     xy = (x[:, :2] - config.mean) / config.sigma
-    enc = xy @ params["encoding"]["w"] + params["encoding"]["b"]
+    enc = mm(xy, params["encoding"]["w"]) + params["encoding"]["b"]
     if config.use_cos:
         h = config.fourier_features // 2
         enc = jnp.concatenate([jnp.sin(enc[:, :h]), jnp.cos(enc[:, h:])], axis=1)
@@ -111,10 +126,10 @@ def onf_apply(params: dict, x: jnp.ndarray, config: ONFConfig = ONFConfig()) -> 
         features = jnp.concatenate([enc, angle], axis=1)
     else:
         features = enc
-    hidden = jax.nn.relu(features @ params["mlp1"]["w"] + params["mlp1"]["b"])
-    hidden = jax.nn.relu(hidden @ params["mlp2"]["w"] + params["mlp2"]["b"])
+    hidden = jax.nn.relu(mm(features, params["mlp1"]["w"]) + params["mlp1"]["b"])
+    hidden = jax.nn.relu(mm(hidden, params["mlp2"]["w"]) + params["mlp2"]["b"])
     skip = jnp.concatenate([hidden, features], axis=1)
-    return skip @ params["out"]["w"] + params["out"]["b"]
+    return mm(skip, params["out"]["w"]) + params["out"]["b"]
 
 
 def onf_param_count(config: ONFConfig = ONFConfig()) -> int:

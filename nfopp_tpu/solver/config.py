@@ -52,6 +52,8 @@ class SolverConfig(NamedTuple):
     optimize_collision_model_freq: int = 1
     # trajectory init
     init_angles_with_trajectory: bool = False
+    # implementation switches (numerics-preserving)
+    use_fused_field_grad: bool = False  # Pallas fused fwd+bwd field kernel
 
     @property
     def field_batch_size(self) -> int:

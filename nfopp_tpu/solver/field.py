@@ -96,7 +96,19 @@ def field_loss_and_grad(
     truth: jnp.ndarray,
 ) -> tuple[jnp.ndarray, dict]:
     """BCE-with-logits loss of field predictions vs oracle truth + param grads
-    (ref _optimize_collision_model, nerf_opt_planner.py:76-91)."""
+    (ref _optimize_collision_model, nerf_opt_planner.py:76-91).
+
+    With config.use_fused_field_grad the fused Pallas kernel computes loss and
+    all parameter gradients in one VMEM-resident pass (same numbers up to f32
+    reassociation; interpreter mode on CPU backends).
+    """
+    if config.use_fused_field_grad:
+        from ..ops.pallas.field_grad import field_loss_and_grad_fused
+
+        interpret = jax.default_backend() == "cpu"
+        return field_loss_and_grad_fused(
+            config.onf, field_params, points, truth, interpret=interpret
+        )
 
     def loss_fn(params):
         logits = onf_apply(params, points, config.onf)
