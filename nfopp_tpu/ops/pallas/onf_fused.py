@@ -127,22 +127,23 @@ def _onf_kernel(
     out_ref[0] = logits[:, :1]
 
 
-def onf_apply_fused(
+def onf_apply_fused_single(
     params: dict,
     x: jnp.ndarray,
     config: ONFConfig = ONFConfig(),
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Batched fused forward: params [B, ...] pytree, x [B, M, 3] -> [B, M, 1]."""
+    """Fused forward for ONE problem: x [M, 2|3] -> [M, 1]. vmap for batches
+    (the pallas_call batching rule turns the vmap axis into a kernel grid)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    batch, m, dim = x.shape
+    m, dim = x.shape
     m_pad = _round_up(m, 8)
-    x_padded = jnp.zeros((batch, m_pad, 128), jnp.float32)
-    x_padded = x_padded.at[:, :m, :dim].set(x)
+    x_padded = jnp.zeros((1, m_pad, 128), jnp.float32)
+    x_padded = x_padded.at[0, :m, :dim].set(x)
 
-    padded = jax.vmap(lambda p: pad_onf_params(p, config))(params)
+    padded = {k: v[None] for k, v in pad_onf_params(params, config).items()}
     kernel = functools.partial(_onf_kernel, config=config)
     order = [
         "enc_w", "enc_b", "w1a", "w1b", "b1", "w2", "b2",
@@ -151,18 +152,26 @@ def onf_apply_fused(
 
     def spec(arr):
         return pl.BlockSpec(
-            (1,) + arr.shape[1:], lambda b: (b,) + (0,) * (arr.ndim - 1),
-            memory_space=pltpu.VMEM,
+            arr.shape, lambda: (0,) * arr.ndim, memory_space=pltpu.VMEM
         )
 
     out = pl.pallas_call(
         kernel,
-        grid=(batch,),
         in_specs=[spec(x_padded)] + [spec(padded[k]) for k in order],
-        out_specs=pl.BlockSpec(
-            (1, m_pad, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, m_pad, 1), jnp.float32),
+        out_specs=spec(jnp.zeros((1, m_pad, 1))),
+        out_shape=jax.ShapeDtypeStruct((1, m_pad, 1), jnp.float32),
         interpret=interpret,
     )(x_padded, *[padded[k] for k in order])
-    return out[:, :m]
+    return out[0, :m]
+
+
+def onf_apply_fused(
+    params: dict,
+    x: jnp.ndarray,
+    config: ONFConfig = ONFConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched fused forward: params [B, ...] pytree, x [B, M, 3] -> [B, M, 1]."""
+    return jax.vmap(
+        lambda p, q: onf_apply_fused_single(p, q, config, interpret)
+    )(params, x)

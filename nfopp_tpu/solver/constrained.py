@@ -99,6 +99,14 @@ class ConstrainedSolver:
         self._field_opt = optax.adam(config.collision_lr, b1=b1, b2=b2, eps=config.adam_eps)
         b1, b2 = config.trajectory_betas
         self._traj_opt = optax.adam(config.trajectory_lr, b1=b1, b2=b2, eps=config.adam_eps)
+        self._collision_terms = None
+        if config.use_fused_field_grad:
+            from ..ops.pallas.collision_terms import make_collision_terms
+
+            self._collision_terms = make_collision_terms(
+                config.onf, config.collision_beta,
+                interpret=jax.default_backend() == "cpu",
+            )
 
     # ------------------------------------------------------------------ init
 
@@ -326,9 +334,14 @@ class ConstrainedSolver:
             collision_multipliers[1:] * (1.0 - t[:, 0]) + collision_multipliers[:-1] * t[:, 0]
         )
 
-        logits = onf_apply(field_params, collision_positions, cfg.onf)
-        collision_loss = jnp.sum(softplus_beta(logits, cfg.collision_beta))
-        multiplier_loss = jnp.sum(multipliers * jnp.tanh(logits[:, 0]))
+        if self._collision_terms is not None:
+            collision_loss, multiplier_loss = self._collision_terms(
+                field_params, collision_positions, multipliers
+            )
+        else:
+            logits = onf_apply(field_params, collision_positions, cfg.onf)
+            collision_loss = jnp.sum(softplus_beta(logits, cfg.collision_beta))
+            multiplier_loss = jnp.sum(multipliers * jnp.tanh(logits[:, 0]))
 
         constraint_deltas = non_holonomic_constraint_deltas(full)
         direction_deltas = jnp.maximum(direction_constraint_deltas(full), 0.0)

@@ -78,7 +78,18 @@ def sample_field_points(
     candidate_ages = jnp.concatenate(
         [buffer_ages, jnp.zeros(fine.shape[0], buffer_ages.dtype)]
     )
-    logits = onf_apply(field_params, candidates, config.onf)[:, 0]
+    if config.use_fused_field_grad:
+        # score candidates in the fused VMEM-resident kernel: the XLA path
+        # materializes every [B, 199, 100..320] activation to HBM (profiled
+        # HBM-bound, BASELINE_MEASURED.md)
+        from ..ops.pallas.onf_fused import onf_apply_fused_single
+
+        interpret = jax.default_backend() == "cpu"
+        logits = onf_apply_fused_single(
+            field_params, candidates, config.onf, interpret=interpret
+        )[:, 0]
+    else:
+        logits = onf_apply(field_params, candidates, config.onf)[:, 0]
     weights = jax.nn.sigmoid(logits) * jnp.exp(-candidate_ages * config.buffer_age_decay) + 1e-6
     idx = gumbel_topk_indices(k_gumbel, weights, config.collision_point_count)
     new_buffer = candidates[idx]
