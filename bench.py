@@ -31,18 +31,23 @@ def log(*args):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=1024, help="problems per chip")
+    parser.add_argument("--batch", type=int, default=256, help="problems per chip "
+                        "(per-problem step time is flat in batch size; 256 compiles fast)")
     parser.add_argument("--steps", type=int, default=1000, help="iterations per solve")
     parser.add_argument("--timed-steps", type=int, default=200,
                         help="steps in each timed chunk")
     parser.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     parser.add_argument("--rbg", action="store_true",
                         help="use the fast RBG PRNG instead of threefry")
-    parser.add_argument("--bf16", action="store_true",
-                        help="bfloat16 matmuls (mixed precision) in the field MLP")
+    parser.add_argument("--f32", action="store_true",
+                        help="full float32 (reference-parity numerics); default is "
+                             "bf16 matmuls with f32 accumulation (measured "
+                             "identical feasibility, ~15%% faster)")
     parser.add_argument("--fused", action="store_true",
-                        help="Pallas fused field fwd+bwd kernel")
+                        help="Pallas fused field kernels (slower at this scale on "
+                             "current hardware; kept for large-M regimes)")
     args = parser.parse_args()
+    args.bf16 = not args.f32
 
     import jax
 
