@@ -22,3 +22,9 @@ from . import ops  # noqa: F401
 from . import models  # noqa: F401
 from . import worlds  # noqa: F401
 from . import solver  # noqa: F401
+from . import parallel  # noqa: F401
+from . import astar  # noqa: F401
+from . import bench  # noqa: F401
+from . import baselines  # noqa: F401
+from . import service  # noqa: F401
+from . import utils  # noqa: F401
