@@ -54,6 +54,10 @@ class SolverConfig(NamedTuple):
     init_angles_with_trajectory: bool = False
     # implementation switches (numerics-preserving)
     use_fused_field_grad: bool = False  # Pallas fused fwd+bwd field kernel
+    # quality knobs beyond the reference (1 = exact reference behavior)
+    collision_samples_per_segment: int = 1  # samples per segment in the
+    # trajectory collision loss; >1 reduces corner-slipping (loss scale kept
+    # by averaging over samples)
 
     @property
     def field_batch_size(self) -> int:

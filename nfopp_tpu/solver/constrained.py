@@ -320,19 +320,26 @@ class ConstrainedSolver:
         t: jnp.ndarray,
     ) -> jnp.ndarray:
         """Composite SE(2) objective (ref trajectory_loss,
-        constrained_nerf_opt_planner.py:76-100). `t` [N-1, 1] is the per-segment
-        sample drawn outside so value and grads share it."""
+        constrained_nerf_opt_planner.py:76-100). `t` [N-1, S] holds S uniform
+        samples per segment drawn outside so value and grads share them
+        (S = config.collision_samples_per_segment; S=1 = reference)."""
         cfg = self.config
         full = jnp.concatenate([start[None], trajectory, goal[None]], axis=0)
 
         # Segment-interpolated collision samples with wrapped-angle lerp (:78-81);
         # gradients flow into the trajectory through the sample positions.
+        # t has shape [N-1, S] for S samples per segment (S=1 is the exact
+        # reference behavior); the collision terms are averaged over S so the
+        # loss scale matches the reference at any S.
         delta = trajectory[:-1] - trajectory[1:]
         delta = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
-        collision_positions = trajectory[1:] + t * delta
+        samples = t.shape[1]
+        collision_positions = (
+            trajectory[1:, None, :] + t[:, :, None] * delta[:, None, :]
+        ).reshape(-1, 3)
         multipliers = (
-            collision_multipliers[1:] * (1.0 - t[:, 0]) + collision_multipliers[:-1] * t[:, 0]
-        )
+            collision_multipliers[1:, None] * (1.0 - t) + collision_multipliers[:-1, None] * t
+        ).reshape(-1)
 
         if self._collision_terms is not None:
             collision_loss, multiplier_loss = self._collision_terms(
@@ -342,6 +349,8 @@ class ConstrainedSolver:
             logits = onf_apply(field_params, collision_positions, cfg.onf)
             collision_loss = jnp.sum(softplus_beta(logits, cfg.collision_beta))
             multiplier_loss = jnp.sum(multipliers * jnp.tanh(logits[:, 0]))
+        collision_loss = collision_loss / samples
+        multiplier_loss = multiplier_loss / samples
 
         constraint_deltas = non_holonomic_constraint_deltas(full)
         direction_deltas = jnp.maximum(direction_constraint_deltas(full), 0.0)
@@ -364,7 +373,9 @@ class ConstrainedSolver:
         collision multipliers projected onto >= 0)."""
         cfg = self.config
         n = cfg.trajectory_length
-        t = jax.random.uniform(key, (n - 1, 1), jnp.float32)
+        t = jax.random.uniform(
+            key, (n - 1, cfg.collision_samples_per_segment), jnp.float32
+        )
 
         loss, (traj_grad, cons_grad, coll_grad) = jax.value_and_grad(
             self.trajectory_loss, argnums=(0, 1, 2)

@@ -22,6 +22,7 @@ from .scenarios import (  # noqa: F401
     dilate,
     parse_movingai_map,
     parse_movingai_scen,
+    polygon_world,
     random_forest,
     random_free_pose,
 )

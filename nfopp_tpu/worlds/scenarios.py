@@ -24,6 +24,7 @@ __all__ = [
     "GridScenario",
     "random_forest",
     "corridor",
+    "polygon_world",
     "parse_movingai_map",
     "parse_movingai_scen",
     "dilate",
@@ -150,6 +151,51 @@ def corridor(
     start = random_free_pose(rng2, scenario)
     goal = random_free_pose(rng2, scenario)
     return GridScenario(blocked, resolution, scenario.origin, start, goal)
+
+
+def polygon_world(
+    polygons: list[np.ndarray],
+    bounds: tuple[float, float, float, float],
+    resolution: float = 0.5,
+    start: np.ndarray | None = None,
+    goal: np.ndarray | None = None,
+    mode: str = "union",
+) -> GridScenario:
+    """Rasterize polygonal obstacles into a grid world (the bench-mr polygon/
+    'warehouse' environment family). Each polygon is a [K, 2] vertex loop;
+    cells whose centers fall inside (even-odd per loop) are blocked.
+    mode='union' ORs the loops (separate obstacles); mode='evenodd' XORs them
+    (a loop inside another cuts a hole).
+    """
+    if mode not in ("union", "evenodd"):
+        raise ValueError(f"unknown mode {mode!r}")
+    xmin, xmax, ymin, ymax = bounds
+    w = int(round((xmax - xmin) / resolution))
+    h = int(round((ymax - ymin) / resolution))
+    xs = xmin + (np.arange(w) + 0.5) * resolution
+    ys = ymin + (np.arange(h) + 0.5) * resolution
+    gx, gy = np.meshgrid(xs, ys)  # [h, w]
+    blocked = np.zeros((h, w), bool)
+    for poly in polygons:
+        poly = np.asarray(poly, np.float64)
+        inside = np.zeros((h, w), bool)
+        x0, y0 = poly[-1]
+        for x1, y1 in poly:
+            # even-odd ray cast along +x
+            crosses = ((y0 > gy) != (y1 > gy)) & (
+                gx < (x1 - x0) * (gy - y0) / (y1 - y0 + 1e-30) + x0
+            )
+            inside ^= crosses
+            x0, y0 = x1, y1
+        if mode == "union":
+            blocked |= inside
+        else:
+            blocked ^= inside
+    return GridScenario(
+        blocked=blocked, resolution=resolution, origin=(xmin, ymin),
+        start=None if start is None else np.asarray(start, np.float32),
+        goal=None if goal is None else np.asarray(goal, np.float32),
+    )
 
 
 def parse_movingai_map(text: str, resolution: float = 1.0) -> GridScenario:

@@ -9,8 +9,39 @@ from nfopp_tpu.worlds import (
     grid_collision,
     parse_movingai_map,
     parse_movingai_scen,
+    polygon_world,
     random_forest,
 )
+
+
+def test_polygon_world_rasterization():
+    square = np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]])
+    triangle = np.array([[7.0, 7.0], [9.0, 7.0], [8.0, 9.0]])
+    s = polygon_world([square, triangle], bounds=(0, 10, 0, 10), resolution=0.5)
+    assert s.blocked.shape == (20, 20)
+    oracle = s.oracle()
+    q = jnp.asarray(
+        [[4.0, 4.0], [1.0, 1.0], [8.0, 7.4], [8.0, 9.5], [6.4, 4.0]], jnp.float32
+    )
+    got = np.asarray(grid_collision(oracle, q))
+    # inside square, outside, inside triangle, above triangle apex, right of square
+    np.testing.assert_array_equal(got, [True, False, True, False, False])
+
+
+def test_polygon_world_hole_via_evenodd():
+    # a square with a square hole: evenodd mode leaves the hole free,
+    # union mode blocks it
+    outer = np.array([[1.0, 1.0], [9.0, 1.0], [9.0, 9.0], [1.0, 9.0]])
+    inner = np.array([[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0]])
+    q = jnp.asarray([[5.0, 5.0], [1.5, 1.5], [0.5, 0.5]], jnp.float32)
+
+    s_eo = polygon_world([outer, inner], bounds=(0, 10, 0, 10), resolution=0.25, mode="evenodd")
+    got = np.asarray(grid_collision(s_eo.oracle(), q))
+    np.testing.assert_array_equal(got, [False, True, False])  # hole is free
+
+    s_union = polygon_world([outer, inner], bounds=(0, 10, 0, 10), resolution=0.25)
+    got = np.asarray(grid_collision(s_union.oracle(), q))
+    np.testing.assert_array_equal(got, [True, True, False])
 
 
 def test_grid_oracle_xy_row_col_convention():
