@@ -58,7 +58,8 @@ class AstarTrajectoryInitializer:
         y = ys.reshape(-1) * res + res / 2 + ymin
         poses = np.stack([x, y, np.full_like(x, 3 * np.pi / 4)], axis=1).astype(np.float32)
         collisions = np.asarray(self.collision_fn(poses))
-        return collisions.reshape(y_cells, x_cells)
+        # copy: oracle outputs may be read-only buffers (e.g. from jax arrays)
+        return collisions.reshape(y_cells, x_cells).copy()
 
     def _cell(self, point: np.ndarray) -> tuple[int, int]:
         xmin, _, ymin, _ = self.bounds
