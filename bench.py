@@ -51,6 +51,12 @@ def main() -> None:
 
     import jax
 
+    # Persistent compilation cache: the remote-compile tunnel in this
+    # environment is slow/flaky; a warm cache makes bench runs start in
+    # seconds instead of minutes.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.rbg:

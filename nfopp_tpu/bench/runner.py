@@ -37,6 +37,10 @@ class SuiteResult:
     stats: list  # [B] PathStatistics
     wall_time: float
     log: ResultsLog
+    # start/goal-in-collision prechecks (the reference exits 3/4 on these,
+    # run_bench_mr.py:94-98; batched mode flags per problem instead)
+    start_invalid: np.ndarray | None = None  # [B] bool
+    goal_invalid: np.ndarray | None = None  # [B] bool
 
 
 def run_grid_suite(
@@ -70,6 +74,13 @@ def run_grid_suite(
     bounds = jnp.asarray(
         np.stack([np.asarray(s.bounds, np.float32) for s in scenarios])
     )
+
+    # start/goal validity precheck against the footprint-dilated oracles
+    endpoint_check = jax.jit(
+        jax.vmap(lambda o, s, g: grid_collision(o, jnp.stack([s, g])))
+    )(oracles, starts, goals)
+    endpoint_check = np.asarray(endpoint_check)
+    start_invalid, goal_invalid = endpoint_check[:, 0], endpoint_check[:, 1]
 
     t0 = time.time()
     trajectories = None
@@ -129,4 +140,5 @@ def run_grid_suite(
     return SuiteResult(
         paths=paths, feasible=feasible, lengths=lengths, iterations=iterations,
         stats=stats_list, wall_time=wall, log=log,
+        start_invalid=start_invalid, goal_invalid=goal_invalid,
     )

@@ -82,14 +82,20 @@ def dilate(blocked: np.ndarray, radius_cells: int) -> np.ndarray:
 
 
 def random_free_pose(rng: np.random.RandomState, scenario: GridScenario,
-                     margin_cells: int = 2) -> np.ndarray:
-    """[3] pose at a uniformly random free cell center with random heading."""
-    free_i, free_j = np.where(~scenario.blocked)
+                     margin_cells: int = 2, clearance_cells: int = 2) -> np.ndarray:
+    """[3] pose at a uniformly random free cell center with random heading.
+
+    clearance_cells dilates obstacles before sampling so the pose stays valid
+    for robots with a footprint up to that radius (endpoints inside the
+    dilated zone would make the problem unsolvable — the reference's exit-3/4
+    situation)."""
+    blocked = dilate(scenario.blocked, clearance_cells)
+    free_i, free_j = np.where(~blocked)
     keep = (
         (free_i >= margin_cells)
-        & (free_i < scenario.blocked.shape[0] - margin_cells)
+        & (free_i < blocked.shape[0] - margin_cells)
         & (free_j >= margin_cells)
-        & (free_j < scenario.blocked.shape[1] - margin_cells)
+        & (free_j < blocked.shape[1] - margin_cells)
     )
     free_i, free_j = free_i[keep], free_j[keep]
     k = rng.randint(len(free_i))

@@ -127,6 +127,10 @@ def main():
     feasible = result.feasible
     print(f"\nwall time (all problems, one batch): {result.wall_time:.2f}s")
     print(f"feasible: {int(feasible.sum())}/{len(feasible)}")
+    bad = (result.start_invalid | result.goal_invalid)
+    if bad.any():
+        print(f"note: {int(bad.sum())} problem(s) had start/goal in collision "
+              f"(reference exit codes 3/4): {np.where(bad)[0].tolist()}")
     header = f"{'#':>3} {'ok':>3} {'iters':>6} {'length':>9} {'max_k':>7} {'norm_k':>8} {'AOL':>7} {'smooth':>8} {'clear':>7}"
     print(header)
     for b, stats in enumerate(result.stats):
