@@ -105,3 +105,45 @@ class BatchPlanner:
     def paths(self, states: Any) -> jnp.ndarray:
         """[B, N+2, d] full trajectories with pinned endpoints."""
         return jax.vmap(self.solver.full_trajectory)(states)
+
+    def solve_portfolio(
+        self,
+        key: jax.Array,
+        start: jnp.ndarray,
+        goal: jnp.ndarray,
+        bounds: jnp.ndarray,
+        oracle_params: Any,
+        restarts: int = 8,
+        max_iterations: int = 1000,
+        min_iterations: int = 200,
+        check_freq: int = 50,
+    ) -> TrackingResult:
+        """Portfolio solving: one problem, `restarts` random restarts in a
+        single sharded batch; returns the best feasible result.
+
+        The NFOPP objective is nonconvex and chaotic in its RNG stream (the
+        reference's own demo scene fails or succeeds depending on seed) — on
+        TPU, restarts are nearly free: they ride the same batch machinery as
+        independent problems. This capability has no reference counterpart.
+        """
+        tile = lambda x: jnp.tile(jnp.asarray(x)[None], (restarts,) + (1,) * jnp.ndim(x))
+        starts = tile(jnp.asarray(start, jnp.float32))
+        goals = tile(jnp.asarray(goal, jnp.float32))
+        bounds_b = tile(jnp.asarray(bounds, jnp.float32))
+        oracles = jax.tree_util.tree_map(
+            lambda x: jnp.tile(x[None], (restarts,) + (1,) * x.ndim), oracle_params
+        )
+        states = self.init_batch(key, starts, goals, bounds_b, oracles)
+        result = self.solve(states, oracles, max_iterations, min_iterations, check_freq)
+        feasible = result.feasible
+        # rank: feasible first, then shortest
+        score = jnp.where(feasible, result.length, jnp.inf)
+        best = jnp.argmin(score)
+        pick = lambda x: jax.tree_util.tree_map(lambda v: v[best], x)
+        return TrackingResult(
+            state=pick(result.state),
+            path=result.path[best],
+            length=result.length[best],
+            feasible=result.feasible[best],
+            iterations=result.iterations[best],
+        )
