@@ -169,4 +169,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    try:
+        main()
+    except Exception as exc:  # pragma: no cover - hardware flake path
+        # The axon TPU tunnel can abort when a previous process's claim has
+        # not fully released ("TPU backend error (Aborted)"). Re-exec once
+        # after a cooldown so the driver's bench run survives the flake.
+        if os.environ.get("NFOPP_BENCH_RETRIED") == "1":
+            raise
+        log(f"bench attempt failed ({type(exc).__name__}: {exc}); "
+            "retrying once in 75s (TPU claim cooldown)")
+        time.sleep(75)
+        os.environ["NFOPP_BENCH_RETRIED"] = "1"
+        os.execve(sys.executable, [sys.executable] + sys.argv, dict(os.environ))

@@ -8,7 +8,7 @@ max/normalized curvature, AOL, smoothness, clearing distance stats, cusps.
 """
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from typing import Callable, Mapping
+from typing import Mapping
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ import numpy as np
 from ..parallel import BatchPlanner, problem_mesh
 from ..solver import ConstrainedSolver, config_from_parameters
 from ..solver.api import DEFAULT_PARAMETERS
-from ..worlds.oracle import GridOracle, grid_collision
+from ..worlds.oracle import grid_collision
 from ..worlds.scenarios import GridScenario
 from .metrics import path_statistics
 from .results import ResultsLog

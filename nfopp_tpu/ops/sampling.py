@@ -16,13 +16,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .math import wrap_angle
-
 __all__ = [
     "gumbel_topk_indices",
     "random_intermediate_positions",
-    "random_intermediate_positions_se2",
-    "offset_positions_se2",
     "uniform_box_points",
 ]
 
@@ -50,32 +46,6 @@ def random_intermediate_positions(key: jax.Array, trajectory: jnp.ndarray) -> jn
     n = trajectory.shape[0]
     t = jax.random.uniform(key, (n - 1, 1), dtype=trajectory.dtype)
     return trajectory[1:] * (1.0 - t) + trajectory[:-1] * t
-
-
-def random_intermediate_positions_se2(
-    key: jax.Array, trajectory: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """SE(2) segment sampling with wrapped-angle interpolation.
-
-    Returns (positions [N-1, 3], t [N-1, 1]). Ref:
-    constrained_nerf_opt_planner.py:78-81 — delta = traj[:-1] - traj[1:] with the
-    angle channel wrapped, positions = traj[1:] + t * delta. The same t is reused
-    for the collision-multiplier interpolation, so it is returned.
-    """
-    n = trajectory.shape[0]
-    t = jax.random.uniform(key, (n - 1, 1), dtype=trajectory.dtype)
-    delta = trajectory[:-1] - trajectory[1:]
-    delta = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
-    return trajectory[1:] + t * delta, t
-
-
-def offset_positions_se2(
-    key: jax.Array, positions: jnp.ndarray, xy_sigma: float, angle_sigma: float
-) -> jnp.ndarray:
-    """Gaussian-jitter SE(2) samples (ref: constrained_nerf_opt_planner.py:57-61)."""
-    noise = jax.random.normal(key, positions.shape, dtype=positions.dtype)
-    scale = jnp.array([xy_sigma, xy_sigma, angle_sigma], dtype=positions.dtype)
-    return positions + noise * scale
 
 
 def uniform_box_points(

@@ -28,7 +28,6 @@ import optax
 from ..models.onf import init_onf_params, onf_apply
 from ..ops.hessian import inverse_velocity_hessian
 from ..ops.losses import (
-    bce_with_logits,
     boundary_loss,
     direction_constraint_deltas,
     distance_loss_se2,

@@ -10,12 +10,12 @@ problem batch.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from ..models.onf import ONFConfig, onf_apply
+from ..models.onf import onf_apply
 from ..ops.losses import bce_with_logits
 from ..ops.sampling import gumbel_topk_indices, uniform_box_points
 from .config import SolverConfig
