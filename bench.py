@@ -46,6 +46,9 @@ def main() -> None:
     parser.add_argument("--fused", action="store_true",
                         help="Pallas fused field kernels (slower at this scale on "
                              "current hardware; kept for large-M regimes)")
+    parser.add_argument("--multi", type=int, default=0, metavar="P",
+                        help="batch-explicit step with P-problems-per-program "
+                             "Pallas field kernels (0 = off)")
     args = parser.parse_args()
     args.bf16 = not args.f32
 
@@ -104,7 +107,10 @@ def main() -> None:
     log(f"init: {time.time() - t0:.1f}s")
 
     chunk = args.timed_steps
-    run = jax.jit(lambda s, o: jax.vmap(solver.run, in_axes=(0, 0, None))(s, o, chunk))
+    if args.multi:
+        run = jax.jit(lambda s, o: solver.run_batch(s, o, chunk, args.multi))
+    else:
+        run = jax.jit(lambda s, o: jax.vmap(solver.run, in_axes=(0, 0, None))(s, o, chunk))
 
     t0 = time.time()
     warm, _ = run(states, oracles)

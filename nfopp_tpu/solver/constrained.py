@@ -469,6 +469,130 @@ class ConstrainedSolver:
         )
         return state, aux
 
+    # -------------------------------------------- batch-explicit fast path
+
+    def _field_step_batch(self, states, oracle_params, keys, problems_per_program):
+        """Field update for a whole batch with multi-problem Pallas kernels.
+
+        Semantically identical to vmap(self._field_step) (same per-problem RNG
+        stream consumption), but the two heavy passes — candidate scoring and
+        training fwd+bwd — run as P-problems-per-program kernels instead of
+        XLA's batched fusions.
+        """
+        cfg = self.config
+        from ..ops.pallas.field_grad_multi import field_loss_and_grad_multi
+        from ..ops.pallas.onf_multi import onf_apply_fused_multi
+        from ..ops.sampling import gumbel_topk_indices, uniform_box_points
+        from .field import _offset_positions
+
+        interpret = jax.default_backend() == "cpu"
+
+        def pre(key, prev):
+            k_t, k_coarse, k_fine, k_gumbel, k_rand = jax.random.split(key, 5)
+            n = prev.shape[0]
+            t = jax.random.uniform(k_t, (n - 1, 1), dtype=prev.dtype)
+            positions = prev[1:] * (1.0 - t) + prev[:-1] * t
+            coarse = _offset_positions(
+                k_coarse, positions, cfg.course_random_offset, cfg.angle_offset
+            )
+            fine = _offset_positions(
+                k_fine, positions, cfg.trajectory_random_offset, cfg.angle_offset
+            )
+            return coarse, fine, k_gumbel, k_rand
+
+        coarse, fine, k_gumbel, k_rand = jax.vmap(pre)(keys, states.prev_trajectory)
+        candidates = jnp.concatenate([states.buffer_points, fine], axis=1)
+        candidate_ages = jnp.concatenate(
+            [states.buffer_ages, jnp.zeros(fine.shape[:2], states.buffer_ages.dtype)],
+            axis=1,
+        )
+        logits = onf_apply_fused_multi(
+            states.field_params, candidates, cfg.onf,
+            problems_per_program, interpret=interpret,
+        )[..., 0]
+
+        def post(logits, candidates, ages, k_gumbel, k_rand, coarse, bounds):
+            weights = (
+                jax.nn.sigmoid(logits) * jnp.exp(-ages * cfg.buffer_age_decay) + 1e-6
+            )
+            idx = gumbel_topk_indices(k_gumbel, weights, cfg.collision_point_count)
+            new_buffer = candidates[idx]
+            new_ages = ages[idx] + 1.0
+            rand = uniform_box_points(k_rand, cfg.random_field_points, bounds, True)
+            train = jnp.concatenate([coarse, new_buffer, rand], axis=0)
+            return new_buffer, new_ages, train
+
+        new_buffer, new_ages, train_points = jax.vmap(post)(
+            logits, candidates, candidate_ages, k_gumbel, k_rand, coarse, states.bounds
+        )
+        truth = jax.vmap(self.oracle_fn)(oracle_params, train_points)
+        loss, grads = field_loss_and_grad_multi(
+            cfg.onf, states.field_params, train_points, truth,
+            problems_per_program, interpret=interpret,
+        )
+        updates, opt_state = jax.vmap(self._field_opt.update)(
+            grads, states.field_opt_state, states.field_params
+        )
+        params = optax.apply_updates(states.field_params, updates)
+        return (
+            states._replace(
+                field_params=params,
+                field_opt_state=opt_state,
+                buffer_points=new_buffer,
+                buffer_ages=new_ages,
+                prev_trajectory=states.trajectory,
+            ),
+            loss,
+        )
+
+    def _step_batch(self, states, oracle_params, with_reparam: bool,
+                    problems_per_program: int):
+        cfg = self.config
+        keys = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
+        states = states._replace(key=keys[:, 0])
+        if cfg.optimize_collision_model_freq != 1:
+            raise NotImplementedError(
+                "batch-explicit path requires optimize_collision_model_freq == 1"
+            )
+        states, field_loss = self._field_step_batch(
+            states, oracle_params, keys[:, 1], problems_per_program
+        )
+        states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
+        if with_reparam:
+            states = jax.vmap(self._reparametrize)(states)
+        states = states._replace(step_count=states.step_count + 1)
+        return states, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
+
+    def run_batch(self, states, oracle_params, num_steps: int,
+                  problems_per_program: int = 8):
+        """Batch-explicit `run`: multi-problem Pallas kernels for the field
+        passes, vmap for the rest. Same statically-scheduled reparametrization
+        chunking as `run`; requires num_steps % reparametrize_trajectory_freq
+        == 0 and batch % problems_per_program == 0."""
+        freq = self.config.reparametrize_trajectory_freq
+        if freq <= 1 or num_steps % freq != 0:
+            raise ValueError("run_batch requires num_steps % reparametrize_freq == 0")
+
+        def plain(carry, _):
+            return self._step_batch(carry, oracle_params, False, problems_per_program)
+
+        def chunk(carry, _):
+            s, first_aux = self._step_batch(
+                carry, oracle_params, True, problems_per_program
+            )
+            s, rest_aux = jax.lax.scan(plain, s, None, length=freq - 1)
+            aux = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
+            )
+            return s, aux
+
+        states, aux = jax.lax.scan(chunk, states, None, length=num_steps // freq)
+        # [chunks, freq, B] -> [B, steps] to match vmap(run)'s layout
+        aux = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x.reshape((num_steps,) + x.shape[2:]), 0, 1), aux
+        )
+        return states, aux
+
     # ------------------------------------------------- live problem updates
 
     def update_goal(self, state: ConstrainedState, goal: jnp.ndarray) -> ConstrainedState:
