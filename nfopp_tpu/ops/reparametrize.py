@@ -47,7 +47,10 @@ def arc_length_interp(full_trajectory: jnp.ndarray, distance_dims: int) -> ArcLe
     m = full_trajectory.shape[0]
     cdf = arc_length_cdf(full_trajectory[:, :distance_dims])
     uniform = jnp.linspace(0.0, 1.0, m, dtype=full_trajectory.dtype)[1:-1]
-    indices = jnp.searchsorted(cdf, uniform)
+    # searchsorted(side='left') as a comparison-count: one [M-2, M] vectorized
+    # compare+reduce instead of a batched binary-search gather chain — much
+    # faster on the TPU VPU under vmap at these sizes.
+    indices = jnp.sum((cdf[None, :] < uniform[:, None]).astype(jnp.int32), axis=1)
     index_above = jnp.minimum(indices, m - 1)
     index_below = jnp.maximum(indices - 1, 0)
     cdf_above = cdf[index_above]

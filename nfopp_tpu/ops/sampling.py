@@ -17,10 +17,17 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "gumbel_noise",
     "gumbel_topk_indices",
+    "gumbel_topk_log_indices",
     "random_intermediate_positions",
     "uniform_box_points",
 ]
+
+
+def gumbel_noise(uniform: jnp.ndarray) -> jnp.ndarray:
+    """Standard Gumbel noise from uniform(0, 1) draws."""
+    return -jnp.log(-jnp.log(jnp.maximum(uniform, 1e-20) + 1e-20))
 
 
 def gumbel_topk_indices(key: jax.Array, weights: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -31,9 +38,20 @@ def gumbel_topk_indices(key: jax.Array, weights: jnp.ndarray, k: int) -> jnp.nda
     entries are exhausted, matching np.random.choice's replace fallback edge
     case in spirit — ref nerf_opt_planner.py:128-130).
     """
-    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, weights.shape, minval=1e-20, maxval=1.0) + 1e-20))
+    gumbel = gumbel_noise(jax.random.uniform(key, weights.shape, minval=1e-20, maxval=1.0))
     scores = jnp.log(jnp.maximum(weights, 1e-30)) + gumbel
     _, indices = jax.lax.top_k(scores, k)
+    return indices
+
+
+def gumbel_topk_log_indices(log_weights: jnp.ndarray, gumbel: jnp.ndarray, k: int) -> jnp.ndarray:
+    """`gumbel_topk_indices` with log-space weights and pre-drawn Gumbel noise.
+
+    Equivalent in distribution; saves the exp/log round trip when the weights
+    are naturally computed in log space (e.g. log-sigmoid confidence + linear
+    age decay) and lets callers coalesce the noise draw with other uniforms.
+    """
+    _, indices = jax.lax.top_k(log_weights + gumbel, k)
     return indices
 
 

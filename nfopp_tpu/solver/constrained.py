@@ -482,48 +482,27 @@ class ConstrainedSolver:
         cfg = self.config
         from ..ops.pallas.field_grad_multi import field_loss_and_grad_multi
         from ..ops.pallas.onf_multi import onf_apply_fused_multi
-        from ..ops.sampling import gumbel_topk_indices, uniform_box_points
-        from .field import _offset_positions
+        from .field import field_sample_post, field_sample_pre
 
         interpret = jax.default_backend() == "cpu"
 
-        def pre(key, prev):
-            k_t, k_coarse, k_fine, k_gumbel, k_rand = jax.random.split(key, 5)
-            n = prev.shape[0]
-            t = jax.random.uniform(k_t, (n - 1, 1), dtype=prev.dtype)
-            positions = prev[1:] * (1.0 - t) + prev[:-1] * t
-            coarse = _offset_positions(
-                k_coarse, positions, cfg.course_random_offset, cfg.angle_offset
-            )
-            fine = _offset_positions(
-                k_fine, positions, cfg.trajectory_random_offset, cfg.angle_offset
-            )
-            return coarse, fine, k_gumbel, k_rand
-
-        coarse, fine, k_gumbel, k_rand = jax.vmap(pre)(keys, states.prev_trajectory)
-        candidates = jnp.concatenate([states.buffer_points, fine], axis=1)
+        pre = jax.vmap(field_sample_pre, in_axes=(None, 0, 0, 0))(
+            cfg, keys, states.prev_trajectory, states.bounds
+        )
+        candidates = jnp.concatenate([states.buffer_points, pre.fine], axis=1)
         candidate_ages = jnp.concatenate(
-            [states.buffer_ages, jnp.zeros(fine.shape[:2], states.buffer_ages.dtype)],
+            [states.buffer_ages, jnp.zeros(pre.fine.shape[:2], states.buffer_ages.dtype)],
             axis=1,
         )
         logits = onf_apply_fused_multi(
             states.field_params, candidates, cfg.onf,
             problems_per_program, interpret=interpret,
         )[..., 0]
-
-        def post(logits, candidates, ages, k_gumbel, k_rand, coarse, bounds):
-            weights = (
-                jax.nn.sigmoid(logits) * jnp.exp(-ages * cfg.buffer_age_decay) + 1e-6
-            )
-            idx = gumbel_topk_indices(k_gumbel, weights, cfg.collision_point_count)
-            new_buffer = candidates[idx]
-            new_ages = ages[idx] + 1.0
-            rand = uniform_box_points(k_rand, cfg.random_field_points, bounds, True)
-            train = jnp.concatenate([coarse, new_buffer, rand], axis=0)
-            return new_buffer, new_ages, train
-
-        new_buffer, new_ages, train_points = jax.vmap(post)(
-            logits, candidates, candidate_ages, k_gumbel, k_rand, coarse, states.bounds
+        sample = jax.vmap(field_sample_post, in_axes=(None, 0, 0, 0, 0))(
+            cfg, pre, logits, candidates, candidate_ages
+        )
+        new_buffer, new_ages, train_points = (
+            sample.buffer_points, sample.buffer_ages, sample.train_points
         )
         truth = jax.vmap(self.oracle_fn)(oracle_params, train_points)
         loss, grads = field_loss_and_grad_multi(

@@ -17,10 +17,17 @@ import jax.numpy as jnp
 
 from ..models.onf import onf_apply
 from ..ops.losses import bce_with_logits
-from ..ops.sampling import gumbel_topk_indices, uniform_box_points
+from ..ops.sampling import gumbel_noise, gumbel_topk_log_indices
 from .config import SolverConfig
 
-__all__ = ["FieldSample", "sample_field_points", "field_loss_and_grad"]
+__all__ = [
+    "FieldSample",
+    "FieldSamplePre",
+    "field_sample_pre",
+    "field_sample_post",
+    "sample_field_points",
+    "field_loss_and_grad",
+]
 
 
 class FieldSample(NamedTuple):
@@ -31,18 +38,91 @@ class FieldSample(NamedTuple):
     buffer_ages: jnp.ndarray  # [K]
 
 
-def _offset_positions(
-    key: jax.Array, positions: jnp.ndarray, xy_sigma: float, angle_sigma: float
-) -> jnp.ndarray:
-    """Gaussian jitter; for SE(2) points the angle channel gets its own sigma
-    (constrained_nerf_opt_planner.py:57-61), 2-D points jitter both coords
-    (nerf_opt_planner.py:119-120)."""
-    noise = jax.random.normal(key, positions.shape, dtype=positions.dtype)
-    if positions.shape[-1] == 3:
-        scale = jnp.array([xy_sigma, xy_sigma, angle_sigma], positions.dtype)
+class FieldSamplePre(NamedTuple):
+    """Everything drawn before the candidate-scoring field pass."""
+
+    coarse: jnp.ndarray  # [N-1, dim] coarse-jittered segment samples
+    fine: jnp.ndarray  # [N-1, dim] fine-jittered segment samples (buffer candidates)
+    gumbel: jnp.ndarray  # [K + N-1] Gumbel noise for the resampling top-k
+    random_points: jnp.ndarray  # [R, dim] uniform field points
+
+
+def field_sample_pre(
+    config: SolverConfig,
+    key: jax.Array,
+    prev_trajectory: jnp.ndarray,
+    bounds: jnp.ndarray,
+) -> FieldSamplePre:
+    """Draw every random quantity of one field-sampling step in two RNG calls
+    (one uniform block, one normal block) — RNG kernel count matters at this
+    per-problem size; the noise is independent of the candidate scores so it
+    can all be drawn before the scoring pass.
+
+    Ref semantics: segment lerp `_random_intermediate_positions`
+    (nerf_opt_planner.py:113-117, NO angle wrap here), coarse/fine Gaussian
+    jitter with per-channel sigma (:103-104,119-120;
+    constrained_nerf_opt_planner.py:57-61), uniform box points (:135-141,
+    constrained :173-176).
+    """
+    n = prev_trajectory.shape[0]
+    dim = prev_trajectory.shape[-1]
+    with_angle = dim == 3
+    k_uni, k_norm = jax.random.split(key, 2)
+
+    cand = config.collision_point_count + (n - 1)
+    r = config.random_field_points
+    u = jax.random.uniform(k_uni, ((n - 1) + cand + r * dim,), dtype=jnp.float32)
+    t = u[: n - 1, None]
+    gumbel = gumbel_noise(u[n - 1 : n - 1 + cand])
+    ur = u[n - 1 + cand :].reshape(r, dim)
+
+    x = bounds[0] + ur[:, 0] * (bounds[1] - bounds[0])
+    y = bounds[2] + ur[:, 1] * (bounds[3] - bounds[2])
+    if with_angle:
+        random_points = jnp.stack([x, y, ur[:, 2] * (2.0 * jnp.pi)], axis=1)
     else:
-        scale = jnp.array([xy_sigma, xy_sigma], positions.dtype)
-    return positions + noise * scale
+        random_points = jnp.stack([x, y], axis=1)
+
+    positions = prev_trajectory[1:] * (1.0 - t) + prev_trajectory[:-1] * t
+    noise = jax.random.normal(k_norm, (2, n - 1, dim), dtype=jnp.float32)
+    if with_angle:
+        coarse_scale = jnp.array(
+            [config.course_random_offset] * 2 + [config.angle_offset], jnp.float32
+        )
+        fine_scale = jnp.array(
+            [config.trajectory_random_offset] * 2 + [config.angle_offset], jnp.float32
+        )
+    else:
+        coarse_scale = jnp.float32(config.course_random_offset)
+        fine_scale = jnp.float32(config.trajectory_random_offset)
+    coarse = positions + noise[0] * coarse_scale
+    fine = positions + noise[1] * fine_scale
+    return FieldSamplePre(coarse, fine, gumbel, random_points)
+
+
+def field_sample_post(
+    config: SolverConfig,
+    pre: FieldSamplePre,
+    logits: jnp.ndarray,
+    candidates: jnp.ndarray,
+    candidate_ages: jnp.ndarray,
+) -> FieldSample:
+    """Resample the replay buffer from scored candidates and assemble the
+    training batch in the reference's order [coarse, buffer, random]
+    (nerf_opt_planner.py:101-111).
+
+    Resampling weight is sigmoid(field) * exp(-decay * age) (:122-133) — taken
+    in log space (log-sigmoid - decay*age) so the weighted
+    sample-without-replacement is one fused add + top-k. (The reference adds
+    1e-6 to the weights; sigmoid is strictly positive so this changes nothing
+    distributionally and is dropped here.)
+    """
+    log_w = jax.nn.log_sigmoid(logits) - candidate_ages * config.buffer_age_decay
+    idx = gumbel_topk_log_indices(log_w, pre.gumbel, config.collision_point_count)
+    new_buffer = candidates[idx]
+    new_ages = candidate_ages[idx] + 1.0
+    train_points = jnp.concatenate([pre.coarse, new_buffer, pre.random_points], axis=0)
+    return FieldSample(train_points, new_buffer, new_ages)
 
 
 def sample_field_points(
@@ -58,25 +138,13 @@ def sample_field_points(
     nerf_opt_planner.py:101-111) and advance the replay buffer.
 
     Returns coarse-jittered segment samples + resampled buffer + uniform field
-    points, concatenated in the reference's order. Buffer resampling weight is
-    sigmoid(field) * exp(-decay * age) + 1e-6 (:122-133), drawn without
-    replacement via Gumbel-top-k.
+    points, concatenated in the reference's order. Buffer resampling is a
+    weighted draw without replacement via Gumbel-top-k (see field_sample_post).
     """
-    k_t, k_coarse, k_fine, k_gumbel, k_rand = jax.random.split(key, 5)
-    with_angle = prev_trajectory.shape[-1] == 3
-
-    # One uniform point per segment; plain lerp on every channel — the reference
-    # does NOT wrap the angle here (only trajectory_loss sampling wraps).
-    n = prev_trajectory.shape[0]
-    t = jax.random.uniform(k_t, (n - 1, 1), dtype=prev_trajectory.dtype)
-    positions = prev_trajectory[1:] * (1.0 - t) + prev_trajectory[:-1] * t
-
-    coarse = _offset_positions(k_coarse, positions, config.course_random_offset, config.angle_offset)
-    fine = _offset_positions(k_fine, positions, config.trajectory_random_offset, config.angle_offset)
-
-    candidates = jnp.concatenate([buffer_points, fine], axis=0)
+    pre = field_sample_pre(config, key, prev_trajectory, bounds)
+    candidates = jnp.concatenate([buffer_points, pre.fine], axis=0)
     candidate_ages = jnp.concatenate(
-        [buffer_ages, jnp.zeros(fine.shape[0], buffer_ages.dtype)]
+        [buffer_ages, jnp.zeros(pre.fine.shape[0], buffer_ages.dtype)]
     )
     if config.use_fused_field_grad:
         # score candidates in the fused VMEM-resident kernel: the XLA path
@@ -90,14 +158,7 @@ def sample_field_points(
         )[:, 0]
     else:
         logits = onf_apply(field_params, candidates, config.onf)[:, 0]
-    weights = jax.nn.sigmoid(logits) * jnp.exp(-candidate_ages * config.buffer_age_decay) + 1e-6
-    idx = gumbel_topk_indices(k_gumbel, weights, config.collision_point_count)
-    new_buffer = candidates[idx]
-    new_ages = candidate_ages[idx] + 1.0
-
-    random_points = uniform_box_points(k_rand, config.random_field_points, bounds, with_angle)
-    train_points = jnp.concatenate([coarse, new_buffer, random_points], axis=0)
-    return FieldSample(train_points, new_buffer, new_ages)
+    return field_sample_post(config, pre, logits, candidates, candidate_ages)
 
 
 def field_loss_and_grad(
