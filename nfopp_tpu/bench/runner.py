@@ -23,7 +23,7 @@ from ..solver.api import DEFAULT_PARAMETERS
 from ..worlds.oracle import grid_collision
 from ..worlds.scenarios import GridScenario
 from .metrics import path_statistics
-from .results import ResultsLog
+from .results import ResultsLog, grid_environment_info
 
 __all__ = ["SuiteResult", "run_grid_suite"]
 
@@ -136,6 +136,10 @@ def run_grid_suite(
         log.log_run(
             planner_name, paths[b], stats,
             extra={"iterations": int(iterations[b]), "seed_index": b},
+            environment=grid_environment_info(
+                scenario.blocked, scenario.resolution, scenario.origin,
+                scenario.start, scenario.goal,
+            ),
         )
     return SuiteResult(
         paths=paths, feasible=feasible, lengths=lengths, iterations=iterations,
