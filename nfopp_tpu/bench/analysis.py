@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import math
 import pathlib
-from typing import Any, Iterable
+from typing import Iterable
 
 import numpy as np
 

@@ -87,7 +87,11 @@ class ReplanningService:
             deadline = time.perf_counter() + self.planning_timeout
             steps = 0
             while time.perf_counter() < deadline:
-                self.planner.step(self.steps_per_chunk)
+                aux = self.planner.step(self.steps_per_chunk)
+                # force completion before re-checking the clock: JAX dispatch
+                # is async, so without a sync the loop would enqueue far more
+                # work than the budget allows and blow the cycle deadline
+                np.asarray(aux.trajectory_loss[-1])
                 steps += self.steps_per_chunk
             path = self.planner.get_path()
         if self.postprocessor is not None:

@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Replan-cycle latency benchmark — the reference's ROS-mode budget check.
+
+The reference replans at 10 Hz with a 0.1 s per-cycle stepping budget
+(ros/goal_planner_adapter_factory.py:28, goal_planner_adapter.py:44-63). This
+script drives the ReplanningService through moving-robot cycles on a
+persistent planner and reports per-cycle wall-time percentiles and how many
+optimization steps fit the budget.
+
+    python scripts/replan_latency.py                 # TPU
+    python scripts/replan_latency.py --cpu           # CPU (debug)
+
+NOTE (axon tunnel): per-dispatch latency through the remote-TPU tunnel is
+random 0.1-0.4 s, so absolute p50/p99 numbers on this machine measure the
+tunnel, not the chip; steps-per-cycle and on-device per-step time are the
+hardware-meaningful outputs (see CLAUDE.md timing caveats). On a local TPU
+the wall percentiles are real.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cycles", type=int, default=30)
+    parser.add_argument("--timeout", type=float, default=0.1,
+                        help="per-cycle stepping budget (reference: 0.1 s)")
+    parser.add_argument("--steps-per-chunk", type=int, default=10)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from nfopp_tpu.service import PathPostprocessor, ReplanningService
+    from nfopp_tpu.solver import ConstrainedSolver, NFOPPlanner, run_planner_config
+    from nfopp_tpu.worlds import (
+        RectangleOracle,
+        car_environment,
+        pad_obstacle_points,
+        rectangle_collision,
+    )
+
+    env = car_environment()
+    pts, mask = pad_obstacle_points(env.obstacle_points.astype(np.float32), 64)
+    oracle = RectangleOracle(
+        jnp.asarray(pts), jnp.asarray(mask),
+        jnp.asarray([-0.3, 0.2, -0.3, 0.2], jnp.float32),
+        jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
+    )
+    solver = ConstrainedSolver(run_planner_config(), rectangle_collision)
+    planner = NFOPPlanner(solver, oracle)
+
+    published = []
+    service = ReplanningService(
+        planner,
+        planning_timeout=args.timeout,
+        steps_per_chunk=args.steps_per_chunk,
+        postprocessor=PathPostprocessor(),
+        path_callback=published.append,
+    )
+    service.update_boundaries(env.bounds)
+    service.update_robot_pose(env.start)
+    assert service.set_goal(env.goal)
+    # warm-up cycle compiles the chunked step
+    service.replan_cycle()
+
+    cycle_times, steps_per_cycle = [], []
+    pose = np.asarray(env.start, np.float32)
+    for _ in range(args.cycles):
+        service.update_robot_pose(pose)
+        t0 = time.time()
+        path = service.replan_cycle()
+        cycle_times.append(time.time() - t0)
+        # update_start_point at the top of each cycle resets step_count, so
+        # the post-cycle count IS the number of steps this cycle ran
+        steps_per_cycle.append(int(planner.state.step_count))
+        if path is not None and len(path) > 2:
+            # robot follows the freshly planned path a little
+            pose = np.asarray(path[min(3, len(path) - 1)], np.float32)
+
+    cycle_times = np.asarray(cycle_times)
+    steps = np.asarray(steps_per_cycle, float)
+    result = {
+        "metric": "replan_cycle_latency",
+        "p50_ms": round(float(np.percentile(cycle_times, 50)) * 1e3, 2),
+        "p90_ms": round(float(np.percentile(cycle_times, 90)) * 1e3, 2),
+        "p99_ms": round(float(np.percentile(cycle_times, 99)) * 1e3, 2),
+        "budget_ms": args.timeout * 1e3,
+        "mean_steps_per_cycle": round(float(steps.mean()), 1),
+        "cycles": args.cycles,
+        "paths_published": len(published),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
