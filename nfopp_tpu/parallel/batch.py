@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from ..solver.tracking import TrackingResult, run_with_tracking
+from ..solver.tracking import TrackingResult, evaluate_path, run_with_tracking
 from .mesh import batch_sharding, problem_mesh, shard_batch
 
 __all__ = ["BatchPlanner"]
@@ -43,11 +43,23 @@ class BatchPlanner:
             ),
             out_shardings=self._sharding,
         )
+        self._init_grouped = jax.jit(
+            jax.vmap(
+                lambda k, fk, s, g, b, o: solver.init_state(k, s, g, b, o, field_key=fk)
+            ),
+            out_shardings=self._sharding,
+        )
         self._run = jax.jit(
             jax.vmap(solver.run, in_axes=(0, 0, None)),
             static_argnums=2,
             out_shardings=self._sharding,
         )
+        self._run_grouped = None
+        if hasattr(solver, "run_grouped"):
+            self._run_grouped = jax.jit(
+                solver.run_grouped, static_argnums=(2, 3),
+                out_shardings=self._sharding,
+            )
         self._track = jax.jit(
             jax.vmap(
                 partial(run_with_tracking, solver), in_axes=(0, 0, None, None, None)
@@ -84,9 +96,43 @@ class BatchPlanner:
         trajectories = shard_batch(jnp.asarray(trajectories), self.mesh)
         return self._init_with_traj(*args, oracle_params, trajectories)
 
+    def init_batch_grouped(
+        self,
+        key: jax.Array,
+        starts: jnp.ndarray,
+        goals: jnp.ndarray,
+        bounds: jnp.ndarray,
+        oracle_params: Any,
+        group_size: int,
+    ) -> Any:
+        """Sharded batch where each group of `group_size` consecutive problems
+        shares one field_key — the entry point for shared-field solving
+        (identical initial field replicas per group; run_grouped keeps them in
+        lockstep)."""
+        batch = starts.shape[0]
+        if batch % group_size != 0:
+            raise ValueError(f"batch {batch} not divisible by group {group_size}")
+        k_problems, k_fields = jax.random.split(key)
+        keys = jax.random.split(k_problems, batch)
+        field_keys = jnp.repeat(
+            jax.random.split(k_fields, batch // group_size), group_size, axis=0
+        )
+        args = (keys, field_keys, starts, goals, bounds)
+        args = tuple(shard_batch(jnp.asarray(a), self.mesh) for a in args)
+        oracle_params = shard_batch(oracle_params, self.mesh)
+        return self._init_grouped(*args, oracle_params)
+
     def run(self, states: Any, oracle_params: Any, num_steps: int):
         """Advance every problem `num_steps` steps; returns (states, aux)."""
         return self._run(states, oracle_params, num_steps)
+
+    def run_grouped(self, states: Any, oracle_params: Any, num_steps: int,
+                    group_size: int):
+        """Advance with one shared field per problem group (see
+        ConstrainedSolver.run_grouped)."""
+        if self._run_grouped is None:
+            raise NotImplementedError("solver has no shared-field mode")
+        return self._run_grouped(states, oracle_params, num_steps, group_size)
 
     def solve(
         self,
@@ -117,6 +163,7 @@ class BatchPlanner:
         max_iterations: int = 1000,
         min_iterations: int = 200,
         check_freq: int = 50,
+        shared_field: bool = False,
     ) -> TrackingResult:
         """Portfolio solving: one problem, `restarts` random restarts in a
         single sharded batch; returns the best feasible result.
@@ -125,6 +172,11 @@ class BatchPlanner:
         reference's own demo scene fails or succeeds depending on seed) — on
         TPU, restarts are nearly free: they ride the same batch machinery as
         independent problems. This capability has no reference counterpart.
+
+        shared_field=True trains ONE occupancy field from all restarts'
+        samples (run_grouped): the field sees restarts x points per step, the
+        trajectories stay independent. No per-problem early stop in this mode
+        (the full budget runs; evaluation happens at the end).
         """
         tile = lambda x: jnp.tile(jnp.asarray(x)[None], (restarts,) + (1,) * jnp.ndim(x))
         starts = tile(jnp.asarray(start, jnp.float32))
@@ -133,8 +185,25 @@ class BatchPlanner:
         oracles = jax.tree_util.tree_map(
             lambda x: jnp.tile(x[None], (restarts,) + (1,) * x.ndim), oracle_params
         )
-        states = self.init_batch(key, starts, goals, bounds_b, oracles)
-        result = self.solve(states, oracles, max_iterations, min_iterations, check_freq)
+        if shared_field:
+            states = self.init_batch_grouped(
+                key, starts, goals, bounds_b, oracles, group_size=restarts
+            )
+            states, _ = self.run_grouped(states, oracles, max_iterations, restarts)
+            path = self.paths(states)
+            collides, length = jax.jit(
+                jax.vmap(lambda o, p: evaluate_path(self.solver.oracle_fn, o, p))
+            )(oracles, path)
+            result = TrackingResult(
+                state=states,
+                path=path,
+                length=length,
+                feasible=~collides,
+                iterations=jnp.full(restarts, max_iterations, jnp.int32),
+            )
+        else:
+            states = self.init_batch(key, starts, goals, bounds_b, oracles)
+            result = self.solve(states, oracles, max_iterations, min_iterations, check_freq)
         feasible = result.feasible
         # rank: feasible first, then shortest
         score = jnp.where(feasible, result.length, jnp.inf)

@@ -145,12 +145,18 @@ class ConstrainedSolver:
         bounds: jnp.ndarray,
         oracle_params: Any,
         trajectory: jnp.ndarray | None = None,
+        field_key: jax.Array | None = None,
     ) -> ConstrainedState:
         """Build a fresh solver state for one problem (ref init,
         nerf_opt_planner.py:181-187 + constrained _init_trajectory).
 
         `trajectory` overrides the straight-line initializer (used by the A*
         initializer, which runs host-side once per problem).
+
+        `field_key` overrides the key used for field init + pretraining:
+        problems given the SAME field_key (and the same world/bounds) start
+        with IDENTICAL fields — the shared-field group mode (`run_grouped`)
+        relies on this to keep a map group's field replicas in lockstep.
 
         Deviation from the reference: the replay buffer is pre-filled with
         uniform random field points (the reference starts empty and grows,
@@ -162,6 +168,8 @@ class ConstrainedSolver:
         goal = jnp.asarray(goal, jnp.float32)
         bounds = jnp.asarray(bounds, jnp.float32)
         key, k_field, k_buffer, k_pretrain = jax.random.split(key, 4)
+        if field_key is not None:
+            k_field, k_pretrain = jax.random.split(field_key)
         if trajectory is None:
             trajectory = self.initial_trajectory(start, goal)
         trajectory = jnp.asarray(trajectory, jnp.float32)
@@ -276,9 +284,10 @@ class ConstrainedSolver:
         state = state._replace(step_count=state.step_count + 1)
         return state, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
 
-    def _field_step(
+    def _field_grads(
         self, state: ConstrainedState, oracle_params: Any, key: jax.Array
-    ) -> tuple[ConstrainedState, jnp.ndarray]:
+    ):
+        """Sample -> oracle -> BCE loss + param grads (no optimizer update)."""
         cfg = self.config
         sample = sample_field_points(
             cfg,
@@ -291,18 +300,24 @@ class ConstrainedSolver:
         )
         truth = self.oracle_fn(oracle_params, sample.train_points)
         loss, grads = field_loss_and_grad(cfg, state.field_params, sample.train_points, truth)
+        return sample, loss, grads
+
+    def _apply_field_update(self, state, sample, grads):
         updates, opt_state = self._field_opt.update(grads, state.field_opt_state, state.field_params)
         params = optax.apply_updates(state.field_params, updates)
-        return (
-            state._replace(
-                field_params=params,
-                field_opt_state=opt_state,
-                buffer_points=sample.buffer_points,
-                buffer_ages=sample.buffer_ages,
-                prev_trajectory=state.trajectory,
-            ),
-            loss,
+        return state._replace(
+            field_params=params,
+            field_opt_state=opt_state,
+            buffer_points=sample.buffer_points,
+            buffer_ages=sample.buffer_ages,
+            prev_trajectory=state.trajectory,
         )
+
+    def _field_step(
+        self, state: ConstrainedState, oracle_params: Any, key: jax.Array
+    ) -> tuple[ConstrainedState, jnp.ndarray]:
+        sample, loss, grads = self._field_grads(state, oracle_params, key)
+        return self._apply_field_update(state, sample, grads), loss
 
     # ------------------------------------------------------- trajectory loss
 
@@ -558,6 +573,88 @@ class ConstrainedSolver:
             s, first_aux = self._step_batch(
                 carry, oracle_params, True, problems_per_program
             )
+            s, rest_aux = jax.lax.scan(plain, s, None, length=freq - 1)
+            aux = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
+            )
+            return s, aux
+
+        states, aux = jax.lax.scan(chunk, states, None, length=num_steps // freq)
+        # [chunks, freq, B] -> [B, steps] to match vmap(run)'s layout
+        aux = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x.reshape((num_steps,) + x.shape[2:]), 0, 1), aux
+        )
+        return states, aux
+
+    # ------------------------------------------ shared-field group mode
+
+    def _field_step_grouped(self, states, oracle_params, keys, group_size: int):
+        """Field update with gradients averaged within each map group.
+
+        SURVEY.md §2 designs three communication jobs for the batch mesh; this
+        is job (3): optional shared-field updates between solves on the same
+        map. Each group of `group_size` consecutive problems keeps an
+        identical field replica (see init_state's field_key); every problem
+        still samples its own training points, so the group's field
+        effectively trains on group_size x points per step. The group mean is
+        a plain reshape-mean — when the batch axis is sharded over a mesh and
+        a group spans shards, XLA lowers it to the psum collective.
+        """
+        samples, losses, grads = jax.vmap(self._field_grads)(
+            states, oracle_params, keys
+        )
+
+        def group_mean(g):
+            b = g.shape[0]
+            grouped = g.reshape((b // group_size, group_size) + g.shape[1:])
+            mean = jnp.mean(grouped, axis=1, keepdims=True)
+            return jnp.broadcast_to(mean, grouped.shape).reshape(g.shape)
+
+        grads = jax.tree_util.tree_map(group_mean, grads)
+        states = jax.vmap(self._apply_field_update)(states, samples, grads)
+        return states, losses
+
+    def _step_grouped(self, states, oracle_params, with_reparam: bool,
+                      group_size: int):
+        cfg = self.config
+        if cfg.optimize_collision_model_freq != 1:
+            raise NotImplementedError(
+                "shared-field mode requires optimize_collision_model_freq == 1"
+            )
+        keys = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
+        states = states._replace(key=keys[:, 0])
+        states, field_loss = self._field_step_grouped(
+            states, oracle_params, keys[:, 1], group_size
+        )
+        states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
+        if with_reparam:
+            states = jax.vmap(self._reparametrize)(states)
+        states = states._replace(step_count=states.step_count + 1)
+        return states, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
+
+    def run_grouped(self, states, oracle_params, num_steps: int,
+                    group_size: int):
+        """Batch-level `run` with one shared occupancy field per group of
+        `group_size` consecutive problems (same map, e.g. portfolio restarts
+        or multi-query planning). Init the batch with per-group field_keys so
+        replicas start identical; the group-averaged gradients keep them in
+        lockstep. Same per-problem RNG stream as the vmapped `run`
+        (group_size=1 reproduces it exactly).
+        """
+        freq = self.config.reparametrize_trajectory_freq
+        if freq <= 1 or num_steps % freq != 0:
+            raise ValueError("run_grouped requires num_steps % reparametrize_freq == 0")
+        if states.trajectory.shape[0] % group_size != 0:
+            raise ValueError(
+                f"batch {states.trajectory.shape[0]} not divisible by "
+                f"group_size {group_size}"
+            )
+
+        def plain(carry, _):
+            return self._step_grouped(carry, oracle_params, False, group_size)
+
+        def chunk(carry, _):
+            s, first_aux = self._step_grouped(carry, oracle_params, True, group_size)
             s, rest_aux = jax.lax.scan(plain, s, None, length=freq - 1)
             aux = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
