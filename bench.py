@@ -46,6 +46,11 @@ def main() -> None:
     parser.add_argument("--fused", action="store_true",
                         help="Pallas fused field kernels (slower at this scale on "
                              "current hardware; kept for large-M regimes)")
+    parser.add_argument("--jacobi", action="store_true",
+                        help="Jacobi step order: trajectory update reads the "
+                             "entry field params (one update stale), cutting "
+                             "the serial field->trajectory chain in the scan "
+                             "body so XLA overlaps the two sub-updates")
     parser.add_argument("--multi", type=int, default=0, metavar="P",
                         help="batch-explicit step with P-problems-per-program "
                              "Pallas field kernels (0 = off)")
@@ -90,6 +95,8 @@ def main() -> None:
         config = config._replace(onf=config.onf._replace(compute_dtype="bfloat16"))
     if args.fused:
         config = config._replace(use_fused_field_grad=True)
+    if args.jacobi:
+        config = config._replace(jacobi_step=True)
     solver = ConstrainedSolver(config, rectangle_collision)
 
     batch = args.batch

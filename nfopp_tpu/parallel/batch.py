@@ -152,6 +152,85 @@ class BatchPlanner:
         """[B, N+2, d] full trajectories with pinned endpoints."""
         return jax.vmap(self.solver.full_trajectory)(states)
 
+    def _evaluate_final(self, states: Any, oracles: Any, iterations: int) -> TrackingResult:
+        """Wrap finished states in a TrackingResult by evaluating final paths
+        (used by the shared-field modes, which run the full budget with no
+        per-problem early stop)."""
+        path = self.paths(states)
+        collides, length = jax.jit(
+            jax.vmap(lambda o, p: evaluate_path(self.solver.oracle_fn, o, p))
+        )(oracles, path)
+        batch = path.shape[0]
+        return TrackingResult(
+            state=states,
+            path=path,
+            length=length,
+            feasible=~collides,
+            iterations=jnp.full(batch, iterations, jnp.int32),
+        )
+
+    def solve_multi_query(
+        self,
+        key: jax.Array,
+        starts: jnp.ndarray,
+        goals: jnp.ndarray,
+        bounds: jnp.ndarray,
+        oracle_params: Any,
+        restarts: int = 1,
+        max_iterations: int = 1000,
+        min_iterations: int = 200,
+        check_freq: int = 50,
+        shared_field: bool = True,
+    ) -> TrackingResult:
+        """Multi-query planning: K (start, goal) queries on ONE shared map
+        (`starts`/`goals` [K, d]; `bounds`/`oracle_params` unbatched), solved
+        simultaneously as a single sharded batch. Returns a TrackingResult
+        batched over the K queries.
+
+        shared_field=True trains ONE occupancy field for the whole batch —
+        the map is common, so every query's samples teach the same field
+        (run_grouped, group = whole batch). This is the simultaneous analog of
+        the reference's persistent-field replanning mode, which reuses the
+        field across goals only SEQUENTIALLY (ros/goal_planner_adapter.py:
+        planner object persists across goal callbacks). In shared-field mode
+        the full budget runs (no per-problem early stop); evaluation happens
+        at the end.
+
+        restarts > 1 replicates each query (query-major layout) and returns
+        the best feasible restart per query.
+        """
+        starts = jnp.asarray(starts, jnp.float32)
+        goals = jnp.asarray(goals, jnp.float32)
+        k = starts.shape[0]
+        batch = k * restarts
+        starts_b = jnp.repeat(starts, restarts, axis=0)
+        goals_b = jnp.repeat(goals, restarts, axis=0)
+        tile = lambda x: jnp.tile(jnp.asarray(x)[None], (batch,) + (1,) * jnp.ndim(x))
+        bounds_b = tile(jnp.asarray(bounds, jnp.float32))
+        oracles = jax.tree_util.tree_map(
+            lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), oracle_params
+        )
+        if shared_field:
+            states = self.init_batch_grouped(
+                key, starts_b, goals_b, bounds_b, oracles, group_size=batch
+            )
+            states, _ = self.run_grouped(states, oracles, max_iterations, batch)
+            result = self._evaluate_final(states, oracles, max_iterations)
+        else:
+            states = self.init_batch(key, starts_b, goals_b, bounds_b, oracles)
+            result = self.solve(states, oracles, max_iterations, min_iterations, check_freq)
+        # best restart per query: feasible first, then shortest
+        score = jnp.where(result.feasible, result.length, jnp.inf)
+        best = jnp.argmin(score.reshape(k, restarts), axis=1) + jnp.arange(k) * restarts
+        pick = lambda v: jax.tree_util.tree_map(lambda x: x[best], v)
+        return TrackingResult(
+            state=pick(result.state),
+            path=result.path[best],
+            length=result.length[best],
+            feasible=result.feasible[best],
+            iterations=result.iterations[best],
+        )
+
     def solve_portfolio(
         self,
         key: jax.Array,
@@ -178,41 +257,16 @@ class BatchPlanner:
         trajectories stay independent. No per-problem early stop in this mode
         (the full budget runs; evaluation happens at the end).
         """
-        tile = lambda x: jnp.tile(jnp.asarray(x)[None], (restarts,) + (1,) * jnp.ndim(x))
-        starts = tile(jnp.asarray(start, jnp.float32))
-        goals = tile(jnp.asarray(goal, jnp.float32))
-        bounds_b = tile(jnp.asarray(bounds, jnp.float32))
-        oracles = jax.tree_util.tree_map(
-            lambda x: jnp.tile(x[None], (restarts,) + (1,) * x.ndim), oracle_params
+        result = self.solve_multi_query(
+            key,
+            jnp.asarray(start, jnp.float32)[None],
+            jnp.asarray(goal, jnp.float32)[None],
+            bounds,
+            oracle_params,
+            restarts=restarts,
+            max_iterations=max_iterations,
+            min_iterations=min_iterations,
+            check_freq=check_freq,
+            shared_field=shared_field,
         )
-        if shared_field:
-            states = self.init_batch_grouped(
-                key, starts, goals, bounds_b, oracles, group_size=restarts
-            )
-            states, _ = self.run_grouped(states, oracles, max_iterations, restarts)
-            path = self.paths(states)
-            collides, length = jax.jit(
-                jax.vmap(lambda o, p: evaluate_path(self.solver.oracle_fn, o, p))
-            )(oracles, path)
-            result = TrackingResult(
-                state=states,
-                path=path,
-                length=length,
-                feasible=~collides,
-                iterations=jnp.full(restarts, max_iterations, jnp.int32),
-            )
-        else:
-            states = self.init_batch(key, starts, goals, bounds_b, oracles)
-            result = self.solve(states, oracles, max_iterations, min_iterations, check_freq)
-        feasible = result.feasible
-        # rank: feasible first, then shortest
-        score = jnp.where(feasible, result.length, jnp.inf)
-        best = jnp.argmin(score)
-        pick = lambda x: jax.tree_util.tree_map(lambda v: v[best], x)
-        return TrackingResult(
-            state=pick(result.state),
-            path=result.path[best],
-            length=result.length[best],
-            feasible=result.feasible[best],
-            iterations=result.iterations[best],
-        )
+        return jax.tree_util.tree_map(lambda x: x[0], result)

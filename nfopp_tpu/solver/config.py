@@ -54,6 +54,15 @@ class SolverConfig(NamedTuple):
     init_angles_with_trajectory: bool = False
     # implementation switches (numerics-preserving)
     use_fused_field_grad: bool = False  # Pallas fused fwd+bwd field kernel
+    # Jacobi-style step: the trajectory update reads the field params from
+    # BEFORE this step's field update (the reference's Gauss-Seidel order,
+    # nerf_opt_planner.py:60-71, reads the just-updated field). With the
+    # coupling cut, the field and trajectory sub-updates are independent
+    # inside the fused scan body, so XLA overlaps their dependency chains —
+    # the step is chain-bound, not FLOP-bound, on TPU. One-update-stale
+    # field; convergence/feasibility measured unchanged (see
+    # BASELINE_MEASURED.md).
+    jacobi_step: bool = False
     # quality knobs beyond the reference (1 = exact reference behavior)
     collision_samples_per_segment: int = 1  # samples per segment in the
     # trajectory collision loss; >1 reduces corner-slipping (loss scale kept

