@@ -51,6 +51,15 @@ def main() -> None:
                              "entry field params (one update stale), cutting "
                              "the serial field->trajectory chain in the scan "
                              "body so XLA overlaps the two sub-updates")
+    parser.add_argument("--unroll", type=int, default=9,
+                        help="lax.scan unroll factor for the plain-step inner "
+                             "loop (amortizes while-loop per-iteration "
+                             "overhead; 9 = fully unrolled chunk, measured "
+                             "14.26 -> 13.18 us/step/problem)")
+    parser.add_argument("--outer-unroll", type=int, default=2,
+                        help="unroll factor for the outer chunk scan "
+                             "(2 -> 13.07 us; fresh compile ~138 s, cached "
+                             "in .jax_cache afterwards)")
     parser.add_argument("--multi", type=int, default=0, metavar="P",
                         help="batch-explicit step with P-problems-per-program "
                              "Pallas field kernels (0 = off)")
@@ -97,6 +106,10 @@ def main() -> None:
         config = config._replace(use_fused_field_grad=True)
     if args.jacobi:
         config = config._replace(jacobi_step=True)
+    if args.unroll > 1:
+        config = config._replace(scan_unroll=args.unroll)
+    if args.outer_unroll > 1:
+        config = config._replace(outer_scan_unroll=args.outer_unroll)
     solver = ConstrainedSolver(config, rectangle_collision)
 
     batch = args.batch

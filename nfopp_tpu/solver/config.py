@@ -63,6 +63,15 @@ class SolverConfig(NamedTuple):
     # field; convergence/feasibility measured unchanged (see
     # BASELINE_MEASURED.md).
     jacobi_step: bool = False
+    # lax.scan unroll factor for the plain-step inner loop in `run` (the
+    # freq-1 steps between reparametrizations). >1 replicates the step body
+    # in the compiled loop, amortizing per-iteration while-loop overhead at
+    # the cost of compile time. Numerics identical at any value (same ops,
+    # same order; bf16 fusion layout may differ).
+    scan_unroll: int = 1
+    # unroll factor for the outer chunk scan (each chunk = reparam step +
+    # freq-1 plain steps); multiplies the compiled body size accordingly
+    outer_scan_unroll: int = 1
     # quality knobs beyond the reference (1 = exact reference behavior)
     collision_samples_per_segment: int = 1  # samples per segment in the
     # trajectory collision loss; >1 reduces corner-slipping (loss scale kept

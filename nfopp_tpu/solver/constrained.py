@@ -488,15 +488,23 @@ class ConstrainedSolver:
         def plain_body(carry, _):
             return self._step_static(carry, oracle_params, with_reparam=False)
 
+        unroll = max(1, min(self.config.scan_unroll, freq - 1))
+
         def chunk(carry, _):
             s, first_aux = self._step_static(carry, oracle_params, with_reparam=True)
-            s, rest_aux = jax.lax.scan(plain_body, s, None, length=freq - 1)
+            s, rest_aux = jax.lax.scan(
+                plain_body, s, None, length=freq - 1, unroll=unroll
+            )
             aux = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
             )
             return s, aux
 
-        state, aux = jax.lax.scan(chunk, state, None, length=num_steps // freq)
+        n_chunks = num_steps // freq
+        outer = max(1, min(self.config.outer_scan_unroll, n_chunks))
+        while n_chunks % outer != 0:
+            outer -= 1
+        state, aux = jax.lax.scan(chunk, state, None, length=n_chunks, unroll=outer)
         aux = jax.tree_util.tree_map(
             lambda x: x.reshape((num_steps,) + x.shape[2:]), aux
         )
@@ -588,17 +596,23 @@ class ConstrainedSolver:
         def plain(carry, _):
             return self._step_batch(carry, oracle_params, False, problems_per_program)
 
+        unroll = max(1, min(self.config.scan_unroll, freq - 1))
+
         def chunk(carry, _):
             s, first_aux = self._step_batch(
                 carry, oracle_params, True, problems_per_program
             )
-            s, rest_aux = jax.lax.scan(plain, s, None, length=freq - 1)
+            s, rest_aux = jax.lax.scan(plain, s, None, length=freq - 1, unroll=unroll)
             aux = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
             )
             return s, aux
 
-        states, aux = jax.lax.scan(chunk, states, None, length=num_steps // freq)
+        n_chunks = num_steps // freq
+        outer = max(1, min(self.config.outer_scan_unroll, n_chunks))
+        while n_chunks % outer != 0:
+            outer -= 1
+        states, aux = jax.lax.scan(chunk, states, None, length=n_chunks, unroll=outer)
         # [chunks, freq, B] -> [B, steps] to match vmap(run)'s layout
         aux = jax.tree_util.tree_map(
             lambda x: jnp.moveaxis(x.reshape((num_steps,) + x.shape[2:]), 0, 1), aux
@@ -690,15 +704,21 @@ class ConstrainedSolver:
         def plain(carry, _):
             return self._step_grouped(carry, oracle_params, False, group_size)
 
+        unroll = max(1, min(self.config.scan_unroll, freq - 1))
+
         def chunk(carry, _):
             s, first_aux = self._step_grouped(carry, oracle_params, True, group_size)
-            s, rest_aux = jax.lax.scan(plain, s, None, length=freq - 1)
+            s, rest_aux = jax.lax.scan(plain, s, None, length=freq - 1, unroll=unroll)
             aux = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
             )
             return s, aux
 
-        states, aux = jax.lax.scan(chunk, states, None, length=num_steps // freq)
+        n_chunks = num_steps // freq
+        outer = max(1, min(self.config.outer_scan_unroll, n_chunks))
+        while n_chunks % outer != 0:
+            outer -= 1
+        states, aux = jax.lax.scan(chunk, states, None, length=n_chunks, unroll=outer)
         # [chunks, freq, B] -> [B, steps] to match vmap(run)'s layout
         aux = jax.tree_util.tree_map(
             lambda x: jnp.moveaxis(x.reshape((num_steps,) + x.shape[2:]), 0, 1), aux
