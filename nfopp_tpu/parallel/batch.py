@@ -12,12 +12,21 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from ..solver.tracking import TrackingResult, evaluate_path, run_with_tracking
 from .mesh import batch_sharding, problem_mesh, shard_batch
 
 __all__ = ["BatchPlanner"]
+
+
+def _best_per_query(result: TrackingResult, k: int, restarts: int) -> TrackingResult:
+    """Reduce a query-major [k * restarts] TrackingResult to the best restart
+    per query: feasible first, then shortest."""
+    score = jnp.where(result.feasible, result.length, jnp.inf)
+    best = jnp.argmin(score.reshape(k, restarts), axis=1) + jnp.arange(k) * restarts
+    return jax.tree_util.tree_map(lambda x: x[best], result)
 
 
 class BatchPlanner:
@@ -43,12 +52,16 @@ class BatchPlanner:
             ),
             out_shardings=self._sharding,
         )
-        self._init_grouped = jax.jit(
-            jax.vmap(
-                lambda k, fk, s, g, b, o: solver.init_state(k, s, g, b, o, field_key=fk)
-            ),
-            out_shardings=self._sharding,
-        )
+        self._init_grouped = None
+        if hasattr(solver, "run_grouped"):
+            self._init_grouped = jax.jit(
+                jax.vmap(
+                    lambda k, fk, s, g, b, o: solver.init_state(
+                        k, s, g, b, o, field_key=fk
+                    )
+                ),
+                out_shardings=self._sharding,
+            )
         self._run = jax.jit(
             jax.vmap(solver.run, in_axes=(0, 0, None)),
             static_argnums=2,
@@ -66,6 +79,9 @@ class BatchPlanner:
             ),
             static_argnums=(2, 3, 4),
             out_shardings=self._sharding,
+        )
+        self._eval_paths = jax.jit(
+            jax.vmap(lambda o, p: evaluate_path(solver.oracle_fn, o, p))
         )
 
     def init_batch(
@@ -109,9 +125,24 @@ class BatchPlanner:
         shares one field_key — the entry point for shared-field solving
         (identical initial field replicas per group; run_grouped keeps them in
         lockstep)."""
+        if self._init_grouped is None:
+            raise NotImplementedError("solver has no shared-field mode")
         batch = starts.shape[0]
         if batch % group_size != 0:
             raise ValueError(f"batch {batch} not divisible by group {group_size}")
+        # replica lockstep requires every problem in a group to see the same
+        # world: field pretraining in init_state queries each problem's own
+        # oracle, and run_grouped averages gradients assuming identical
+        # replicas — different maps/bounds in one group would silently diverge
+        for name, tree in (("oracle_params", oracle_params), ("bounds", bounds)):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                arr = np.asarray(leaf)
+                grouped = arr.reshape((batch // group_size, group_size) + arr.shape[1:])
+                if not (grouped == grouped[:, :1]).all():
+                    raise ValueError(
+                        f"{name} differ within a shared-field group; every "
+                        "problem in a group must share one map"
+                    )
         k_problems, k_fields = jax.random.split(key)
         keys = jax.random.split(k_problems, batch)
         field_keys = jnp.repeat(
@@ -157,9 +188,7 @@ class BatchPlanner:
         (used by the shared-field modes, which run the full budget with no
         per-problem early stop)."""
         path = self.paths(states)
-        collides, length = jax.jit(
-            jax.vmap(lambda o, p: evaluate_path(self.solver.oracle_fn, o, p))
-        )(oracles, path)
+        collides, length = self._eval_paths(oracles, path)
         batch = path.shape[0]
         return TrackingResult(
             state=states,
@@ -219,17 +248,7 @@ class BatchPlanner:
         else:
             states = self.init_batch(key, starts_b, goals_b, bounds_b, oracles)
             result = self.solve(states, oracles, max_iterations, min_iterations, check_freq)
-        # best restart per query: feasible first, then shortest
-        score = jnp.where(result.feasible, result.length, jnp.inf)
-        best = jnp.argmin(score.reshape(k, restarts), axis=1) + jnp.arange(k) * restarts
-        pick = lambda v: jax.tree_util.tree_map(lambda x: x[best], v)
-        return TrackingResult(
-            state=pick(result.state),
-            path=result.path[best],
-            length=result.length[best],
-            feasible=result.feasible[best],
-            iterations=result.iterations[best],
-        )
+        return _best_per_query(result, k, restarts)
 
     def solve_portfolio(
         self,

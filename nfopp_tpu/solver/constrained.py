@@ -42,10 +42,23 @@ from ..ops.reparametrize import (
 from ..ops.sampling import uniform_box_points
 from .config import SolverConfig
 from .field import field_loss_and_grad, sample_field_points
+from .schedule import scan_chunked
 
 __all__ = ["ConstrainedState", "StepAux", "ConstrainedSolver"]
 
 OracleFn = Callable[[Any, jnp.ndarray], jnp.ndarray]
+
+
+def _check_chunkable(name: str, num_steps: int, freq: int) -> None:
+    """The grouped/batch-explicit run loops have no dynamic fallback: they
+    need the static [reparam + freq-1 plain] chunk schedule."""
+    if freq <= 1:
+        raise ValueError(f"{name} requires reparametrize_trajectory_freq > 1")
+    if num_steps % freq != 0:
+        raise ValueError(
+            f"{name} requires num_steps ({num_steps}) to be a multiple of "
+            f"reparametrize_trajectory_freq ({freq})"
+        )
 
 
 class ConstrainedState(NamedTuple):
@@ -269,7 +282,11 @@ class ConstrainedSolver:
         next step's field-sampling distribution is identical in both modes.
         """
         cfg = self.config
-        if cfg.jacobi_step and cfg.optimize_collision_model_freq == 1:
+        if cfg.jacobi_step and cfg.optimize_collision_model_freq != 1:
+            raise NotImplementedError(
+                "jacobi_step requires optimize_collision_model_freq == 1"
+            )
+        if cfg.jacobi_step:
             prev_traj = state.trajectory
             sample, field_loss, grads = self._field_grads(state, oracle_params, k_field)
             state, traj_loss = self._trajectory_step(state, k_traj)
@@ -485,26 +502,11 @@ class ConstrainedSolver:
         if freq <= 1 or num_steps % freq != 0:
             return jax.lax.scan(dyn_body, state, None, length=num_steps)
 
-        def plain_body(carry, _):
-            return self._step_static(carry, oracle_params, with_reparam=False)
-
-        unroll = max(1, min(self.config.scan_unroll, freq - 1))
-
-        def chunk(carry, _):
-            s, first_aux = self._step_static(carry, oracle_params, with_reparam=True)
-            s, rest_aux = jax.lax.scan(
-                plain_body, s, None, length=freq - 1, unroll=unroll
-            )
-            aux = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
-            )
-            return s, aux
-
-        n_chunks = num_steps // freq
-        outer = max(1, min(self.config.outer_scan_unroll, n_chunks))
-        while n_chunks % outer != 0:
-            outer -= 1
-        state, aux = jax.lax.scan(chunk, state, None, length=n_chunks, unroll=outer)
+        state, aux = scan_chunked(
+            lambda s, r: self._step_static(s, oracle_params, with_reparam=r),
+            state, num_steps, freq,
+            self.config.scan_unroll, self.config.outer_scan_unroll,
+        )
         aux = jax.tree_util.tree_map(
             lambda x: x.reshape((num_steps,) + x.shape[2:]), aux
         )
@@ -590,29 +592,12 @@ class ConstrainedSolver:
         chunking as `run`; requires num_steps % reparametrize_trajectory_freq
         == 0 and batch % problems_per_program == 0."""
         freq = self.config.reparametrize_trajectory_freq
-        if freq <= 1 or num_steps % freq != 0:
-            raise ValueError("run_batch requires num_steps % reparametrize_freq == 0")
-
-        def plain(carry, _):
-            return self._step_batch(carry, oracle_params, False, problems_per_program)
-
-        unroll = max(1, min(self.config.scan_unroll, freq - 1))
-
-        def chunk(carry, _):
-            s, first_aux = self._step_batch(
-                carry, oracle_params, True, problems_per_program
-            )
-            s, rest_aux = jax.lax.scan(plain, s, None, length=freq - 1, unroll=unroll)
-            aux = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
-            )
-            return s, aux
-
-        n_chunks = num_steps // freq
-        outer = max(1, min(self.config.outer_scan_unroll, n_chunks))
-        while n_chunks % outer != 0:
-            outer -= 1
-        states, aux = jax.lax.scan(chunk, states, None, length=n_chunks, unroll=outer)
+        _check_chunkable("run_batch", num_steps, freq)
+        states, aux = scan_chunked(
+            lambda s, r: self._step_batch(s, oracle_params, r, problems_per_program),
+            states, num_steps, freq,
+            self.config.scan_unroll, self.config.outer_scan_unroll,
+        )
         # [chunks, freq, B] -> [B, steps] to match vmap(run)'s layout
         aux = jax.tree_util.tree_map(
             lambda x: jnp.moveaxis(x.reshape((num_steps,) + x.shape[2:]), 0, 1), aux
@@ -633,14 +618,21 @@ class ConstrainedSolver:
         a plain reshape-mean — when the batch axis is sharded over a mesh and
         a group spans shards, XLA lowers it to the psum collective.
         """
+        samples, losses, grads = self._field_grads_grouped(
+            states, oracle_params, keys, group_size
+        )
+        states = jax.vmap(self._apply_field_update)(states, samples, grads)
+        return states, losses
+
+    def _field_grads_grouped(self, states, oracle_params, keys, group_size: int):
+        """Per-problem field grads, group-mean'd (no optimizer update)."""
         samples, losses, grads = jax.vmap(self._field_grads)(
             states, oracle_params, keys
         )
         grads = jax.tree_util.tree_map(
             lambda g: self._group_mean(g, group_size), grads
         )
-        states = jax.vmap(self._apply_field_update)(states, samples, grads)
-        return states, losses
+        return samples, losses, grads
 
     @staticmethod
     def _group_mean(g: jnp.ndarray, group_size: int) -> jnp.ndarray:
@@ -664,11 +656,8 @@ class ConstrainedSolver:
             # same reordering as _field_and_trajectory: trajectory update
             # reads the entry field, cutting the serial chain
             prev_traj = states.trajectory
-            samples, field_loss, grads = jax.vmap(self._field_grads)(
-                states, oracle_params, keys[:, 1]
-            )
-            grads = jax.tree_util.tree_map(
-                lambda g: self._group_mean(g, group_size), grads
+            samples, field_loss, grads = self._field_grads_grouped(
+                states, oracle_params, keys[:, 1], group_size
             )
             states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
             states = jax.vmap(self._apply_field_update)(states, samples, grads)
@@ -693,32 +682,17 @@ class ConstrainedSolver:
         (group_size=1 reproduces it exactly).
         """
         freq = self.config.reparametrize_trajectory_freq
-        if freq <= 1 or num_steps % freq != 0:
-            raise ValueError("run_grouped requires num_steps % reparametrize_freq == 0")
+        _check_chunkable("run_grouped", num_steps, freq)
         if states.trajectory.shape[0] % group_size != 0:
             raise ValueError(
                 f"batch {states.trajectory.shape[0]} not divisible by "
                 f"group_size {group_size}"
             )
-
-        def plain(carry, _):
-            return self._step_grouped(carry, oracle_params, False, group_size)
-
-        unroll = max(1, min(self.config.scan_unroll, freq - 1))
-
-        def chunk(carry, _):
-            s, first_aux = self._step_grouped(carry, oracle_params, True, group_size)
-            s, rest_aux = jax.lax.scan(plain, s, None, length=freq - 1, unroll=unroll)
-            aux = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
-            )
-            return s, aux
-
-        n_chunks = num_steps // freq
-        outer = max(1, min(self.config.outer_scan_unroll, n_chunks))
-        while n_chunks % outer != 0:
-            outer -= 1
-        states, aux = jax.lax.scan(chunk, states, None, length=n_chunks, unroll=outer)
+        states, aux = scan_chunked(
+            lambda s, r: self._step_grouped(s, oracle_params, r, group_size),
+            states, num_steps, freq,
+            self.config.scan_unroll, self.config.outer_scan_unroll,
+        )
         # [chunks, freq, B] -> [B, steps] to match vmap(run)'s layout
         aux = jax.tree_util.tree_map(
             lambda x: jnp.moveaxis(x.reshape((num_steps,) + x.shape[2:]), 0, 1), aux

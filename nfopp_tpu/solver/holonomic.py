@@ -21,6 +21,7 @@ from ..ops.sampling import uniform_box_points
 from .config import SolverConfig
 from .constrained import StepAux
 from .field import field_loss_and_grad, sample_field_points
+from .schedule import scan_chunked
 
 __all__ = ["HolonomicState", "HolonomicSolver"]
 
@@ -223,26 +224,11 @@ class HolonomicSolver:
         if freq <= 1 or num_steps % freq != 0:
             return jax.lax.scan(dyn_body, state, None, length=num_steps)
 
-        def plain_body(carry, _):
-            return self._step_static(carry, oracle_params, with_reparam=False)
-
-        unroll = max(1, min(self.config.scan_unroll, freq - 1))
-
-        def chunk(carry, _):
-            s, first_aux = self._step_static(carry, oracle_params, with_reparam=True)
-            s, rest_aux = jax.lax.scan(
-                plain_body, s, None, length=freq - 1, unroll=unroll
-            )
-            aux = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a[None], b]), first_aux, rest_aux
-            )
-            return s, aux
-
-        n_chunks = num_steps // freq
-        outer = max(1, min(self.config.outer_scan_unroll, n_chunks))
-        while n_chunks % outer != 0:
-            outer -= 1
-        state, aux = jax.lax.scan(chunk, state, None, length=n_chunks, unroll=outer)
+        state, aux = scan_chunked(
+            lambda s, r: self._step_static(s, oracle_params, with_reparam=r),
+            state, num_steps, freq,
+            self.config.scan_unroll, self.config.outer_scan_unroll,
+        )
         aux = jax.tree_util.tree_map(
             lambda x: x.reshape((num_steps,) + x.shape[2:]), aux
         )

@@ -28,7 +28,7 @@ from nfopp_tpu.worlds import (
 )
 
 
-def make_pair(jacobi_cfg_only=None, **cfg_kwargs):
+def make_pair(**cfg_kwargs):
     env = two_walls_se2_environment()
     pts, mask = pad_obstacle_points(env.obstacle_points.astype(np.float32), 32)
     oracle = CircleOracle(

@@ -63,18 +63,27 @@ class TestMultiQuery:
         assert (np.asarray(result.iterations) <= 100).all()
 
     def test_best_restart_selection_is_per_query(self):
-        env, oracle, solver = car_setup(trajectory_length=16)
-        planner = BatchPlanner(solver, problem_mesh(jax.devices()[:1]))
-        starts = jnp.asarray([env.start, env.goal], jnp.float32)
-        goals = jnp.asarray([env.goal, env.start], jnp.float32)
-        result = planner.solve_multi_query(
-            jax.random.PRNGKey(2), starts, goals, env.bounds, oracle,
-            restarts=3, max_iterations=50, shared_field=True,
+        """_best_per_query on synthetic data: feasible-first, then shortest,
+        with query-major index reconstruction."""
+        from nfopp_tpu.parallel.batch import _best_per_query
+        from nfopp_tpu.solver.tracking import TrackingResult
+
+        # 2 queries x 3 restarts, query-major rows 0-2 / 3-5
+        length = jnp.asarray([5.0, 1.0, 9.0, 2.0, 8.0, 3.0])
+        feasible = jnp.asarray([True, False, True, False, False, True])
+        result = TrackingResult(
+            state=jnp.arange(6),
+            path=jnp.arange(6, dtype=jnp.float32)[:, None, None],
+            length=length,
+            feasible=feasible,
+            iterations=jnp.full(6, 7, jnp.int32),
         )
-        # the picked per-query result must be at least as good as a fresh
-        # scoring of all restarts (sanity of the argmin reindexing)
-        assert result.length.shape == (2,)
-        assert np.isfinite(np.asarray(result.length)).all()
+        best = _best_per_query(result, k=2, restarts=3)
+        # query 0: feasible rows 0 (len 5) and 2 (len 9) -> row 0
+        # query 1: only row 5 feasible -> row 5 (despite row 3 being shorter)
+        np.testing.assert_array_equal(np.asarray(best.state), [0, 5])
+        np.testing.assert_allclose(np.asarray(best.length), [5.0, 3.0])
+        np.testing.assert_array_equal(np.asarray(best.feasible), [True, True])
 
     def test_portfolio_wrapper_shapes(self):
         env, oracle, solver = car_setup(trajectory_length=16)

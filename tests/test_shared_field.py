@@ -74,6 +74,33 @@ class TestGroupedInit:
                 jax.random.PRNGKey(0), starts, goals, bounds, oracles, group_size=4
             )
 
+    def test_mixed_worlds_in_group_raises(self):
+        solver, starts, goals, bounds, oracles = small_setup(8)
+        oracles = oracles._replace(
+            radius=oracles.radius.at[1].set(0.5)  # problem 1 gets another world
+        )
+        planner = BatchPlanner(solver, problem_mesh(jax.devices()[:1]))
+        with pytest.raises(ValueError, match="share one map"):
+            planner.init_batch_grouped(
+                jax.random.PRNGKey(0), starts, goals, bounds, oracles, group_size=4
+            )
+
+    def test_holonomic_solver_clean_error(self):
+        from nfopp_tpu.solver import HolonomicSolver
+        from nfopp_tpu.worlds import circle_collision
+
+        solver, starts, goals, bounds, oracles = small_setup(4)
+        holo = HolonomicSolver(
+            solver.config._replace(onf=solver.config.onf._replace(angle_encoding=False)),
+            circle_collision,
+        )
+        planner = BatchPlanner(holo, problem_mesh(jax.devices()[:1]))
+        with pytest.raises(NotImplementedError, match="shared-field"):
+            planner.init_batch_grouped(
+                jax.random.PRNGKey(0), starts[:, :2], goals[:, :2], bounds,
+                oracles, group_size=2,
+            )
+
 
 class TestRunGrouped:
     def test_lockstep_and_divergence(self):
