@@ -1,5 +1,6 @@
-"""Anytime replanning service + path postprocessing."""
+"""Anytime replanning services + path postprocessing."""
 
+from .fleet import FleetReplanningService  # noqa: F401
 from .postprocessor import PathPostprocessor  # noqa: F401
 from .replanner import ReplanningService  # noqa: F401
 from .world_state import RobotStateProvider, WorldState  # noqa: F401

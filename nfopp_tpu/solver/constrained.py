@@ -730,3 +730,40 @@ class ConstrainedSolver:
         return state._replace(
             bounds=jnp.asarray(bounds, jnp.float32), step_count=jnp.zeros((), jnp.int32)
         )
+
+    def retarget(
+        self,
+        state: ConstrainedState,
+        start: jnp.ndarray,
+        goal: jnp.ndarray,
+        trajectory: jnp.ndarray | None = None,
+    ) -> ConstrainedState:
+        """New (start, goal) query on the SAME map: rebuild the trajectory,
+        multipliers, and trajectory-optimizer state; KEEP the learned field,
+        its optimizer state, and the replay buffer — the field models the
+        map, not the query.
+
+        The reference's goal callback re-inits the whole planner and
+        re-pretrains the field from scratch (ros/goal_planner_adapter.py:27-37
+        -> nerf_opt_planner.py:181-200); keeping the map knowledge is what its
+        persistent-planner anytime mode does implicitly for small goal moves
+        (constrained :178-185). retarget makes it an explicit primitive — the
+        fleet/multi-query services use it for arbitrary goal changes without
+        relearning the world. Keeps the field replicas of a shared-field group
+        in lockstep (no field state is touched)."""
+        start = jnp.asarray(start, jnp.float32)
+        goal = jnp.asarray(goal, jnp.float32)
+        if trajectory is None:
+            trajectory = self.initial_trajectory(start, goal)
+        trajectory = jnp.asarray(trajectory, jnp.float32)
+        n = self.config.trajectory_length
+        return state._replace(
+            trajectory=trajectory,
+            traj_opt_state=self._traj_opt.init(trajectory),
+            constraint_multipliers=jnp.zeros(n + 1, jnp.float32),
+            collision_multipliers=jnp.zeros(n, jnp.float32),
+            prev_trajectory=trajectory,
+            start=start,
+            goal=goal,
+            step_count=jnp.zeros((), jnp.int32),
+        )
