@@ -35,6 +35,10 @@ def main() -> int:
     parser.add_argument("--timeout", type=float, default=0.1,
                         help="per-cycle stepping budget (reference: 0.1 s)")
     parser.add_argument("--steps-per-chunk", type=int, default=10)
+    parser.add_argument("--fleet", type=int, default=0, metavar="N",
+                        help="serve N robots on one map as a single batched "
+                             "fleet (FleetReplanningService, shared field) "
+                             "instead of the single-robot service")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -64,6 +68,48 @@ def main() -> int:
         jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
     )
     solver = ConstrainedSolver(run_planner_config(), rectangle_collision)
+
+    if args.fleet:
+        from nfopp_tpu.service import FleetReplanningService
+
+        svc = FleetReplanningService(
+            solver, args.fleet, env.bounds, oracle,
+            planning_timeout=args.timeout,
+            steps_per_chunk=args.steps_per_chunk,
+            postprocessor=PathPostprocessor(),
+        )
+        for r in range(args.fleet):
+            svc.update_robot_pose(r, env.start if r % 2 == 0 else env.goal)
+            assert svc.set_goal(r, env.goal if r % 2 == 0 else env.start)
+        svc.replan_cycle()  # warm-up compiles the grouped chunk
+        cycle_times, steps_per_cycle = [], []
+        for _ in range(args.cycles):
+            t0 = time.time()
+            paths = svc.replan_cycle()
+            cycle_times.append(time.time() - t0)
+            steps_per_cycle.append(float(np.asarray(svc._states.step_count).mean()))
+            for r, p in paths.items():
+                if len(p) > 2:
+                    svc.update_robot_pose(r, p[min(3, len(p) - 1)])
+        cycle_times = np.asarray(cycle_times)
+        steps = np.asarray(steps_per_cycle)
+        result = {
+            "metric": "fleet_replan_cycle_latency",
+            "robots": args.fleet,
+            "p50_ms": round(float(np.percentile(cycle_times, 50)) * 1e3, 2),
+            "p90_ms": round(float(np.percentile(cycle_times, 90)) * 1e3, 2),
+            "p99_ms": round(float(np.percentile(cycle_times, 99)) * 1e3, 2),
+            "budget_ms": args.timeout * 1e3,
+            "mean_steps_per_cycle": round(float(steps.mean()), 1),
+            "robot_replans_per_s": round(
+                args.fleet / float(cycle_times.mean()), 1
+            ),
+            "cycles": args.cycles,
+            "device": str(jax.devices()[0]),
+        }
+        print(json.dumps(result))
+        return 0
+
     planner = NFOPPlanner(solver, oracle)
 
     published = []
