@@ -27,6 +27,10 @@ class PathPostprocessor:
         if len(trajectory) < 3:
             return trajectory
         trajectory = self._drop_duplicates(trajectory)
+        if len(trajectory) < 3:
+            # the whole path collapsed to (near-)coincident endpoints —
+            # e.g. a fleet robot already at its goal; nothing to resample
+            return trajectory
         seg = np.linalg.norm(np.diff(trajectory[:, :2], axis=0), axis=1) + 1e-6
         cum = np.concatenate([np.zeros(1), np.cumsum(seg)])
         parametrization = cum / cum[-1]
@@ -50,8 +54,11 @@ class PathPostprocessor:
     def _resample(trajectory, old_param, new_param) -> np.ndarray:
         trajectory = trajectory.copy()
         trajectory[:, 2] = unfold_angles(trajectory[:, 2])
+        # quadratic needs >= 3 support points; degrade gracefully instead
+        # of raising if a caller hands a 2-point path directly
+        kind = "quadratic" if len(trajectory) >= 3 else "linear"
         interp = scipy.interpolate.interp1d(
-            old_param, trajectory, kind="quadratic", axis=0, fill_value="extrapolate"
+            old_param, trajectory, kind=kind, axis=0, fill_value="extrapolate"
         )
         return interp(new_param)
 
