@@ -51,6 +51,13 @@ def main() -> None:
                              "entry field params (one update stale), cutting "
                              "the serial field->trajectory chain in the scan "
                              "body so XLA overlaps the two sub-updates")
+    parser.add_argument("--merged", action="store_true",
+                        help="merged step: one fused ONF forward + one "
+                             "hand-written backward chain covers candidate "
+                             "scoring, BCE training, and the trajectory "
+                             "collision terms (Jacobi data flow; halves the "
+                             "sequential small-op count of the chain-bound "
+                             "step)")
     parser.add_argument("--unroll", type=int, default=9,
                         help="lax.scan unroll factor for the plain-step inner "
                              "loop (amortizes while-loop per-iteration "
@@ -106,6 +113,8 @@ def main() -> None:
         config = config._replace(use_fused_field_grad=True)
     if args.jacobi:
         config = config._replace(jacobi_step=True)
+    if args.merged:
+        config = config._replace(merged_step=True)
     if args.unroll > 1:
         config = config._replace(scan_unroll=args.unroll)
     if args.outer_unroll > 1:

@@ -63,6 +63,13 @@ class SolverConfig(NamedTuple):
     # field; convergence/feasibility measured unchanged (see
     # BASELINE_MEASURED.md).
     jacobi_step: bool = False
+    # Merged step: the Jacobi ordering taken to its conclusion — candidate
+    # scoring, BCE field training, and the trajectory collision terms all read
+    # the entry field params, so they run as ONE ONF forward + ONE hand-written
+    # backward chain (solver/merged_step.py) instead of 3 forwards + 2
+    # autodiff backwards. Halves the sequential small-op count of the
+    # chain-bound step. Numerics match jacobi_step up to f32 reassociation.
+    merged_step: bool = False
     # lax.scan unroll factor for the plain-step inner loop in `run` (the
     # freq-1 steps between reparametrizations). >1 replicates the step body
     # in the compiled loop, amortizing per-iteration while-loop overhead at

@@ -282,10 +282,18 @@ class ConstrainedSolver:
         next step's field-sampling distribution is identical in both modes.
         """
         cfg = self.config
-        if cfg.jacobi_step and cfg.optimize_collision_model_freq != 1:
+        if (cfg.jacobi_step or cfg.merged_step) and cfg.optimize_collision_model_freq != 1:
             raise NotImplementedError(
-                "jacobi_step requires optimize_collision_model_freq == 1"
+                "jacobi_step/merged_step require optimize_collision_model_freq == 1"
             )
+        if cfg.merged_step:
+            if cfg.use_fused_field_grad:
+                raise NotImplementedError(
+                    "merged_step and use_fused_field_grad are mutually exclusive"
+                )
+            from .merged_step import merged_field_and_trajectory
+
+            return merged_field_and_trajectory(self, state, oracle_params, k_field, k_traj)
         if cfg.jacobi_step:
             prev_traj = state.trajectory
             sample, field_loss, grads = self._field_grads(state, oracle_params, k_field)
@@ -652,7 +660,24 @@ class ConstrainedSolver:
             )
         keys = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
         states = states._replace(key=keys[:, 0])
-        if cfg.jacobi_step:
+        if cfg.merged_step:
+            # merged step (one fused ONF pass per problem), field grads
+            # group-mean'd before the Adam update — same collective pattern
+            # as the jacobi/default branches
+            from .merged_step import merged_partial_step
+
+            states, grads, field_loss, traj_loss = jax.vmap(
+                lambda s, o, kf, kt: merged_partial_step(self, s, o, kf, kt)
+            )(states, oracle_params, keys[:, 1], keys[:, 2])
+            grads = jax.tree_util.tree_map(
+                lambda g: self._group_mean(g, group_size), grads
+            )
+            updates, opt_state = jax.vmap(self._field_opt.update)(
+                grads, states.field_opt_state, states.field_params
+            )
+            params = optax.apply_updates(states.field_params, updates)
+            states = states._replace(field_params=params, field_opt_state=opt_state)
+        elif cfg.jacobi_step:
             # same reordering as _field_and_trajectory: trajectory update
             # reads the entry field, cutting the serial chain
             prev_traj = states.trajectory
