@@ -21,7 +21,10 @@ import jax.numpy as jnp
 
 __all__ = ["distance_field", "extract_path", "wavefront_path"]
 
-_INF = jnp.float32(3.0e38) / 4
+# Plain Python float, not a jnp array: a module-level jnp constant would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize() (must run before any backend init).
+_INF = 3.0e38 / 4
 
 # (di, dj, cost) for the 8-connected neighborhood
 _STEPS = [

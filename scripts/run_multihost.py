@@ -31,6 +31,8 @@ def main():
     parser.add_argument("--batch-per-host", type=int, default=256)
     parser.add_argument("--steps", type=int, default=1000)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--json-out", default=None,
+                        help="write a per-host result JSON (tests use this)")
     args = parser.parse_args()
 
     import jax
@@ -79,11 +81,33 @@ def main():
     states, aux = planner.run(states, oracles, args.steps)
     jax.block_until_ready(states)
     elapsed = time.time() - t0
-    mean_loss = float(mean_over_problems(aux.trajectory_loss[:, -1]))
+    # cross-host metric reduction: compiles to a psum over the global mesh
+    # (DCN/gloo between processes) — this is SURVEY.md §2 communication job (2)
+    mean_loss = float(jax.jit(mean_over_problems)(aux.trajectory_loss[:, -1]))
+    mean_final_xy = float(
+        jax.jit(mean_over_problems)(
+            jnp.linalg.norm(states.trajectory[:, -1, :2], axis=-1)
+        )
+    )
     solves_per_s = total_batch * (args.steps / 1000) / elapsed
     print(f"[host {args.process_id}] {args.steps} steps x {total_batch} problems "
           f"in {elapsed:.1f}s -> {solves_per_s:.1f} solves/s slice-wide; "
           f"mean loss {mean_loss:.4f}")
+    if args.json_out:
+        import json
+
+        result = {
+            "process_id": args.process_id,
+            "num_processes": jax.process_count(),
+            "global_devices": jax.device_count(),
+            "local_devices": jax.local_device_count(),
+            "total_batch": total_batch,
+            "steps": args.steps,
+            "mean_loss": mean_loss,
+            "mean_final_xy": mean_final_xy,
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(result, f)
 
 
 if __name__ == "__main__":
