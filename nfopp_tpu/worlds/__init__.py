@@ -20,6 +20,8 @@ from .scenarios import (  # noqa: F401
     GridScenario,
     corridor,
     dilate,
+    distant_endpoints,
+    with_endpoints,
     parse_movingai_map,
     parse_movingai_scen,
     polygon_world,

@@ -29,6 +29,8 @@ __all__ = [
     "parse_movingai_scen",
     "dilate",
     "random_free_pose",
+    "distant_endpoints",
+    "with_endpoints",
 ]
 
 
@@ -103,6 +105,80 @@ def random_free_pose(rng: np.random.RandomState, scenario: GridScenario,
     x = ox + (free_j[k] + 0.5) * scenario.resolution
     y = oy + (free_i[k] + 0.5) * scenario.resolution
     return np.array([x, y, rng.uniform(-np.pi, np.pi)], np.float32)
+
+
+def distant_endpoints(
+    rng: np.random.RandomState,
+    scenario: GridScenario,
+    min_geodesic: float,
+    clearance_cells: int = 2,
+    margin_cells: int = 2,
+    goal_tries: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(start, goal) poses at least min_geodesic apart along the grid geodesic.
+
+    bench-mr's generated corridor/grid experiments put endpoints far apart in
+    the network (the reference's recorded corridor runs have path lengths
+    ~170 on 100x100 worlds); plain uniform free-cell draws mostly produce
+    nearby pairs. One wavefront distance field per candidate goal scores every
+    start cell at once; distances are measured on the clearance-dilated grid
+    so a connected path with that clearance exists.
+    """
+    import jax.numpy as jnp
+
+    from ..astar.wavefront import distance_field
+
+    blocked = dilate(scenario.blocked, clearance_cells)
+    free_i, free_j = np.where(~blocked)
+    keep = (
+        (free_i >= margin_cells)
+        & (free_i < blocked.shape[0] - margin_cells)
+        & (free_j >= margin_cells)
+        & (free_j < blocked.shape[1] - margin_cells)
+    )
+    free_i, free_j = free_i[keep], free_j[keep]
+    ox, oy = scenario.origin
+
+    def pose(i: int, j: int) -> np.ndarray:
+        return np.array(
+            [
+                ox + (j + 0.5) * scenario.resolution,
+                oy + (i + 0.5) * scenario.resolution,
+                rng.uniform(-np.pi, np.pi),
+            ],
+            np.float32,
+        )
+
+    best = None  # (distance, start_cell, goal_cell) fallback if min not met
+    for _ in range(goal_tries):
+        g = rng.randint(len(free_i))
+        gi, gj = int(free_i[g]), int(free_j[g])
+        dist = np.asarray(
+            distance_field(jnp.asarray(blocked), jnp.asarray([gi, gj]))
+        )
+        cand = dist[free_i, free_j] * scenario.resolution
+        reachable = np.isfinite(cand) & (cand < 1e30)
+        far = reachable & (cand >= min_geodesic)
+        if far.any():
+            s = rng.choice(np.where(far)[0])
+            return pose(int(free_i[s]), int(free_j[s])), pose(gi, gj)
+        if reachable.any():
+            s = int(np.argmax(np.where(reachable, cand, -np.inf)))
+            d = float(cand[s])
+            if best is None or d > best[0]:
+                best = (d, (int(free_i[s]), int(free_j[s])), (gi, gj))
+    if best is None:
+        raise ValueError("no reachable endpoint pair found")
+    (si, sj), (gi, gj) = best[1], best[2]
+    return pose(si, sj), pose(gi, gj)
+
+
+def with_endpoints(scenario: GridScenario, start: np.ndarray,
+                   goal: np.ndarray) -> GridScenario:
+    """Copy of a scenario with replaced suggested endpoints."""
+    return GridScenario(
+        scenario.blocked, scenario.resolution, scenario.origin, start, goal
+    )
 
 
 def random_forest(

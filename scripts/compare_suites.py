@@ -1,0 +1,330 @@
+#!/usr/bin/env python3
+"""Seed-averaged quality parity on the NORTH-STAR scenes: corridor + random
+forest suites, this framework vs the PyTorch reference, same worlds, same
+A*-style init, same parameters, COMMON evaluation.
+
+The reference's bench-mr C++ worlds are unavailable here, so both sides run on
+the same generated occupancy-grid worlds (`nfopp_tpu.worlds.scenarios` — the
+same generators run_benchmark.py uses). The reference planner is imported IN
+PLACE from /root/reference and driven through a grid-backed CollisionChecker
+subclass implementing its checker interface (collision_checker.py:9-18), its
+own AstarTrajectoryInitializer (astar_trajectory_initializer.py:15-24) and its
+run_bench_mr.py best-path tracking loop (:111-134). Our side is the batched
+`run_grid_suite` path used by scripts/run_benchmark.py.
+
+Both sides use the bench parameter set of scripts/run_benchmark.py (the
+reference's run_bench_mr.py:20-67 values with sigma=5 + 100 iterations of
+field pretraining — the pretraining is the reference's OWN
+init_collision_iteration mechanism, nerf_opt_planner.py:197-199, so the
+reference benefits identically).
+
+Evaluation is common: dense-path collision against the footprint-dilated grid
+(5 samples/segment) + xy path length, `nfopp_tpu.solver.tracking.evaluate_path`
+for both sides' paths.
+
+    python scripts/compare_suites.py --suite corridor --seeds 10 --cpu
+    python scripts/compare_suites.py --suite forest --seeds 10 --cpu
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+REFERENCE_PATH = "/root/reference"
+FOOTPRINT_RADIUS = 1.0  # world units; run_benchmark.py default
+
+
+def build_scenarios(suite: str, seeds: int):
+    from nfopp_tpu.worlds import corridor, random_forest
+
+    if suite == "corridor":
+        return [corridor(seed=s, size=100, branches=100, radius=3)
+                for s in range(seeds)]
+    if suite == "forest":
+        return [random_forest(seed=s, size=(100, 100), obstacle_ratio=0.03)
+                for s in range(seeds)]
+    raise ValueError(suite)
+
+
+def dilated_blocked(scenario) -> np.ndarray:
+    """The footprint-dilated grid both sides plan against (GridScenario.oracle
+    does the same fold for our side)."""
+    from nfopp_tpu.worlds.scenarios import dilate
+
+    return dilate(
+        scenario.blocked,
+        int(np.ceil(FOOTPRINT_RADIUS / scenario.resolution)),
+    )
+
+
+# ---------------------------------------------------------------- our side
+
+
+def ours_suite_run(scenarios, iterations: int):
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from run_benchmark import bench_parameters
+
+    from nfopp_tpu.bench.runner import run_grid_suite
+
+    t0 = time.time()
+    result = run_grid_suite(
+        scenarios,
+        bench_parameters(),
+        footprint_radius=FOOTPRINT_RADIUS,
+        max_iterations=iterations,
+        min_iterations=200,
+        check_freq=50,
+    )
+    return result.paths, time.time() - t0
+
+
+# ---------------------------------------------------------- reference side
+
+
+def _install_lightning_stub():
+    """Minimal AttributeDict so the reference's factory imports."""
+    if "pytorch_lightning" in sys.modules:
+        return
+
+    class AttributeDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    pl = types.ModuleType("pytorch_lightning")
+    utilities = types.ModuleType("pytorch_lightning.utilities")
+    parsing = types.ModuleType("pytorch_lightning.utilities.parsing")
+    parsing.AttributeDict = AttributeDict
+    utilities.parsing = parsing
+    utilities.AttributeDict = AttributeDict
+    pl.utilities = utilities
+    sys.modules["pytorch_lightning"] = pl
+    sys.modules["pytorch_lightning.utilities"] = utilities
+    sys.modules["pytorch_lightning.utilities.parsing"] = parsing
+
+
+def _make_grid_checker(blocked: np.ndarray, origin, resolution, bounds):
+    """Grid-backed checker implementing the reference CollisionChecker
+    interface (accepts Position2 or [N, >=2] arrays; out-of-grid = collision).
+    """
+    from neural_field_optimal_planner.collision_checker import CollisionChecker
+
+    class GridCollisionChecker(CollisionChecker):
+        def check_collision(self, test_positions):
+            if hasattr(test_positions, "translation"):
+                xy = np.asarray(test_positions.translation)
+            else:
+                xy = np.asarray(test_positions)[:, :2]
+            j = np.floor((xy[:, 0] - origin[0]) / resolution).astype(int)
+            i = np.floor((xy[:, 1] - origin[1]) / resolution).astype(int)
+            h, w = blocked.shape
+            outside = (i < 0) | (i >= h) | (j < 0) | (j >= w)
+            hit = np.ones(len(xy), bool)
+            inside = ~outside
+            hit[inside] = blocked[i[inside], j[inside]]
+            return hit
+
+    return GridCollisionChecker(tuple(bounds))
+
+
+def _reference_parameters():
+    """run_benchmark.py's bench parameter set, in the reference's schema
+    (run_bench_mr.py:20-67 layout + AstarTrajectoryInitializer)."""
+    from pytorch_lightning.utilities import AttributeDict
+
+    return AttributeDict(
+        device="cpu",
+        trajectory_length=100,
+        trajectory_initializer=AttributeDict(
+            name="AstarTrajectoryInitializer",
+            resolution=1.0,  # == grid resolution of the generated worlds
+            init_angles_with_trajectory=False,
+        ),
+        collision_model=AttributeDict(
+            mean=0, sigma=5, use_cos=True, bias=True, use_normal_init=True,
+            angle_encoding=True, name="ONF",
+        ),
+        collision_optimizer=AttributeDict(lr=2e-2, betas=(0.9, 0.9)),
+        trajectory_optimizer=AttributeDict(lr=5e-2, betas=(0.9, 0.9)),
+        planner=AttributeDict(
+            name="ConstrainedNERFOptPlanner",
+            trajectory_random_offset=0.02,
+            collision_weight=100,
+            velocity_hessian_weight=0.5,
+            random_field_points=10,
+            init_collision_iteration=100,
+            constraint_deltas_weight=100,
+            multipliers_lr=0.1,
+            init_collision_points=200,
+            reparametrize_trajectory_freq=10,
+            optimize_collision_model_freq=1,
+            angle_weight=5,
+            angle_offset=0.3,
+            boundary_weight=1,
+            direction_delta_weight=100,
+            collision_multipliers_lr=1e-3,
+            collision_beta=10,
+            course_random_offset=1.5,
+        ),
+    )
+
+
+def reference_run(scenario, seed: int, iterations: int, evaluator):
+    """One reference solve with the run_bench_mr.py tracking loop; returns
+    (final path [102, 3] or None on A* failure, seconds)."""
+    sys.path.insert(0, REFERENCE_PATH)
+    _install_lightning_stub()
+    import torch
+
+    torch.random.manual_seed(seed + 100)
+    np.random.seed(seed + 400)
+    torch.autograd.set_detect_anomaly(False)
+    from neural_field_optimal_planner.planner_factory import PlannerFactory
+
+    checker = _make_grid_checker(
+        dilated_blocked(scenario), scenario.origin, scenario.resolution,
+        scenario.bounds,
+    )
+    planner = PlannerFactory.make_constrained_onf_planner(
+        checker, _reference_parameters()
+    )
+    t0 = time.time()
+    try:
+        planner.init(
+            scenario.start[None].astype(np.float32),
+            scenario.goal[None].astype(np.float32),
+            scenario.bounds,
+        )
+    except Exception as exc:  # A* init failure (no path at this resolution)
+        print(f"    reference init failed: {type(exc).__name__}: {exc}")
+        return None, time.time() - t0
+
+    # best-path tracking loop, run_bench_mr.py:111-134
+    best_length, best_path = np.inf, None
+    for i in range(iterations):
+        planner.step()
+        if i > 200 and i % 50 == 0:
+            path = planner.get_path()
+            collision, length = evaluator(path)
+            if not collision and length < best_length:
+                best_length, best_path = length, path
+            elif not collision:
+                break
+    path = planner.get_path()
+    collision, _ = evaluator(path)
+    if collision and best_path is not None:
+        path = best_path
+    return path, time.time() - t0
+
+
+# ------------------------------------------------------------- evaluation
+
+
+def make_evaluator(scenario):
+    """Common metric closure: dense-path feasibility + xy length against the
+    footprint-dilated grid."""
+    import jax.numpy as jnp
+
+    from nfopp_tpu.solver.tracking import evaluate_path
+    from nfopp_tpu.worlds.oracle import grid_collision
+
+    oracle = scenario.oracle(FOOTPRINT_RADIUS)
+
+    def evaluator(path):
+        collides, length = evaluate_path(
+            grid_collision, oracle, jnp.asarray(np.asarray(path), jnp.float32), 5
+        )
+        return bool(collides), float(length)
+
+    return evaluator
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--suite", choices=["corridor", "forest"],
+                        default="corridor")
+    parser.add_argument("--seeds", type=int, default=10)
+    parser.add_argument("--iterations", type=int, default=1000)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--skip-reference", action="store_true")
+    parser.add_argument("--json-out", default=None)
+    args = parser.parse_args()
+
+    if args.cpu:
+        # BEFORE any jnp array exists: the first device array would otherwise
+        # initialize the default (TPU) backend, and the evaluator oracles are
+        # built below
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    scenarios = build_scenarios(args.suite, args.seeds)
+    evaluators = [make_evaluator(s) for s in scenarios]
+
+    ours_paths, ours_time = ours_suite_run(scenarios, args.iterations)
+    ours_eval = [ev(p) for ev, p in zip(evaluators, ours_paths)]
+    ours_feasible = np.array([not c for c, _ in ours_eval])
+    ours_lengths = np.array([l for _, l in ours_eval])
+    print(f"ours:      feasible {ours_feasible.sum()}/{len(scenarios)}, "
+          f"wall {ours_time:.1f}s for ALL {len(scenarios)} problems (batched)")
+
+    if args.skip_reference or not pathlib.Path(REFERENCE_PATH).exists():
+        print("reference: skipped")
+        return 0
+
+    ref_paths, ref_secs = [], 0.0
+    for k, (scenario, ev) in enumerate(zip(scenarios, evaluators)):
+        path, secs = reference_run(scenario, k, args.iterations, ev)
+        ref_secs += secs
+        ref_paths.append(path)
+        status = "init-failed" if path is None else (
+            "feasible" if not ev(path)[0] else "COLLIDES")
+        print(f"  reference problem {k}: {status} ({secs:.1f}s)")
+    ref_eval = [(True, np.nan) if p is None else ev(p)
+                for ev, p in zip(evaluators, ref_paths)]
+    ref_feasible = np.array([not c for c, _ in ref_eval])
+    ref_lengths = np.array([l for _, l in ref_eval])
+    print(f"reference: feasible {ref_feasible.sum()}/{len(scenarios)}, "
+          f"wall {ref_secs:.1f}s sequential")
+
+    both = ours_feasible & ref_feasible
+    report = {
+        "suite": args.suite,
+        "seeds": args.seeds,
+        "iterations": args.iterations,
+        "footprint_radius": FOOTPRINT_RADIUS,
+        "ours_feasible": int(ours_feasible.sum()),
+        "ref_feasible": int(ref_feasible.sum()),
+        "both_feasible": int(both.sum()),
+        "ours_lengths": [round(float(x), 4) for x in ours_lengths],
+        "ref_lengths": [None if np.isnan(x) else round(float(x), 4)
+                        for x in ref_lengths],
+        "ours_wall_s": round(ours_time, 1),
+        "ref_wall_s": round(ref_secs, 1),
+    }
+    if both.any():
+        ratio = ours_lengths[both].mean() / ref_lengths[both].mean()
+        report["cost_ratio_both_feasible"] = round(float(ratio), 4)
+        print(f"cost ratio over {both.sum()} both-feasible problems "
+              f"(ours/reference): {ratio:.4f} ({(ratio - 1) * 100:+.2f}%)")
+    if args.json_out:
+        pathlib.Path(args.json_out).write_text(json.dumps(report, indent=1))
+        print(f"report written to {args.json_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

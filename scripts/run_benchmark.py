@@ -24,13 +24,30 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def build_scenarios(args):
-    from nfopp_tpu.worlds import corridor, parse_movingai_map, parse_movingai_scen, random_forest
+    import numpy as np
+
+    from nfopp_tpu.worlds import (
+        corridor, distant_endpoints, parse_movingai_map, parse_movingai_scen,
+        random_forest, with_endpoints,
+    )
     from nfopp_tpu.worlds.scenarios import GridScenario, random_free_pose
 
+    def far(scenarios):
+        if not getattr(args, "min_geodesic", 0):
+            return scenarios
+        return [
+            with_endpoints(
+                sc, *distant_endpoints(
+                    np.random.RandomState(1000 + s), sc, args.min_geodesic
+                )
+            )
+            for s, sc in enumerate(scenarios)
+        ]
+
     if args.suite == "corridor":
-        return [corridor(seed=s, size=100, branches=100, radius=3) for s in range(args.seeds)]
+        return far([corridor(seed=s, size=100, branches=100, radius=3) for s in range(args.seeds)])
     if args.suite == "forest":
-        return [random_forest(seed=s, size=(100, 100), obstacle_ratio=0.03) for s in range(args.seeds)]
+        return far([random_forest(seed=s, size=(100, 100), obstacle_ratio=0.03) for s in range(args.seeds)])
     if args.suite == "movingai":
         base = parse_movingai_map(pathlib.Path(args.map).read_text())
         scenarios = []
@@ -83,6 +100,21 @@ def bench_parameters():
     )
 
 
+def movingai_overrides():
+    """Measured 256x256 city-map adjustments (probed 2026-08-19, 4-problem
+    CPU matrix at 3000 iters): at 2.56x world scale the distance-shortening
+    gradient (~ segment length) overwhelms the fixed-scale collision terms and
+    paths skim corners — collision_weight 100->500 and constraint_deltas
+    100->300 rebalance it; trajectory_length 100->150 keeps segments ~2 cells;
+    sigma 5->2.5 smooths the field at the larger extent (helps only combined
+    with the longer trajectory). 0/4 -> 4/4 feasible."""
+    return {
+        "trajectory_length": 150,
+        "collision_model": {"sigma": 2.5},
+        "planner": {"collision_weight": 500.0, "constraint_deltas_weight": 300.0},
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--suite", choices=["corridor", "forest", "movingai"], default="corridor")
@@ -90,6 +122,9 @@ def main():
     parser.add_argument("--map", help="MovingAI .map file (suite=movingai)")
     parser.add_argument("--scen", help="MovingAI .scen file (optional)")
     parser.add_argument("--footprint-radius", type=float, default=1.0)
+    parser.add_argument("--min-geodesic", type=float, default=0.0,
+                        help="resample endpoints until the grid geodesic is at "
+                        "least this long (corridor/forest suites)")
     parser.add_argument("--max-iterations", type=int, default=1000)
     parser.add_argument("--min-iterations", type=int, default=200)
     parser.add_argument("--nfomp", help="JSON file/string with parameter overrides")
@@ -107,6 +142,12 @@ def main():
 
     scenarios = build_scenarios(args)
     parameters = bench_parameters()
+    if args.suite == "movingai":
+        parameters = (
+            Config.from_dict(parameters)
+            .update(movingai_overrides())
+            .as_attribute_dict()
+        )
     if args.nfomp:
         override = (
             json.loads(pathlib.Path(args.nfomp).read_text())

@@ -22,6 +22,10 @@ def main():
     parser.add_argument("--suite", choices=["corridor", "forest"], default="corridor")
     parser.add_argument("--seeds", type=int, default=4)
     parser.add_argument("--footprint-radius", type=float, default=1.0)
+    parser.add_argument("--min-geodesic", type=float, default=0.0,
+                        help="resample endpoints until the grid geodesic is at "
+                        "least this long (bench-mr's recorded corridor runs "
+                        "have ~170-length paths; uniform draws are shorter)")
     parser.add_argument("--out", default="/tmp/nfopp_gpmp2_results.json")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -36,10 +40,22 @@ def main():
     from nfopp_tpu.baselines import GPMP2Config, build_sdf, gpmp2_plan
     from nfopp_tpu.bench import ResultsLog, path_statistics
     from nfopp_tpu.utils.host_math import calculate_tangent
-    from nfopp_tpu.worlds import corridor, grid_collision, random_forest
+    from nfopp_tpu.worlds import (
+        corridor, distant_endpoints, grid_collision, random_forest,
+        with_endpoints,
+    )
 
     make = corridor if args.suite == "corridor" else (lambda seed: random_forest(seed=seed))
     scenarios = [make(seed=s) for s in range(args.seeds)]
+    if args.min_geodesic > 0:
+        scenarios = [
+            with_endpoints(
+                sc, *distant_endpoints(
+                    np.random.RandomState(1000 + s), sc, args.min_geodesic
+                )
+            )
+            for s, sc in enumerate(scenarios)
+        ]
 
     oracles = [s.oracle(args.footprint_radius) for s in scenarios]
     sdfs = [

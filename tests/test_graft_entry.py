@@ -21,3 +21,9 @@ def test_entry_is_jittable():
 
 def test_dryrun_multichip_on_virtual_mesh():
     graft.dryrun_multichip(len(jax.devices()))
+
+
+def test_dryrun_multichip_on_device_subset():
+    # a 2-device mesh over a subset of the host's devices — the exact call
+    # shape the driver uses must work for any n <= device count
+    graft.dryrun_multichip(2)

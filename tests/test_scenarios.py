@@ -129,3 +129,22 @@ def test_scenario_oracle_with_footprint_dilation():
     q = jnp.asarray([[5.75, 4.75]], jnp.float32)  # one cell left of the obstacle
     assert not bool(grid_collision(oracle_sharp, q)[0])
     assert bool(grid_collision(oracle_fat, q)[0])
+
+
+def test_distant_endpoints_meets_min_geodesic():
+    from nfopp_tpu.worlds import distant_endpoints, with_endpoints
+    from nfopp_tpu.astar.wavefront import distance_field
+
+    sc = corridor(seed=0, size=100, branches=100, radius=3)
+    rng = np.random.RandomState(7)
+    start, goal = distant_endpoints(rng, sc, min_geodesic=120.0)
+    blocked = dilate(sc.blocked, 2)
+    gi = int((goal[1] - sc.origin[1]) // sc.resolution)
+    gj = int((goal[0] - sc.origin[0]) // sc.resolution)
+    si = int((start[1] - sc.origin[1]) // sc.resolution)
+    sj = int((start[0] - sc.origin[0]) // sc.resolution)
+    assert not blocked[si, sj] and not blocked[gi, gj]
+    dist = np.asarray(distance_field(jnp.asarray(blocked), jnp.asarray([gi, gj])))
+    assert dist[si, sj] * sc.resolution >= 120.0
+    sc2 = with_endpoints(sc, start, goal)
+    assert np.allclose(sc2.start, start) and sc2.blocked is sc.blocked
