@@ -198,6 +198,61 @@ class BatchPlanner:
             iterations=jnp.full(batch, iterations, jnp.int32),
         )
 
+    def solve_grouped_tracked(
+        self,
+        states: Any,
+        oracle_params: Any,
+        group_size: int,
+        max_iterations: int = 1000,
+        min_iterations: int = 200,
+        check_freq: int = 50,
+    ) -> TrackingResult:
+        """Shared-field solve with best-path tracking.
+
+        run_grouped has no per-problem early stop (the shared field must keep
+        stepping for the whole group), so tracking runs as a host-side chunk
+        loop — the reference's own run_bench_mr.py:111-134 shape: advance
+        check_freq steps, evaluate every path, keep the shortest feasible one
+        per problem. Without this, chaotic scenes (two-walls) report 0
+        feasibility even when feasible paths existed mid-run: the final
+        iterate oscillates in and out of feasibility.
+        """
+        num_chunks = -(-max_iterations // check_freq)
+        best_path = np.array(self.paths(states))  # writable copy
+        batch = best_path.shape[0]
+        best_length = np.full(batch, np.inf)
+        best_feasible = np.zeros(batch, bool)
+        iterations = np.zeros(batch, np.int32)
+        for c in range(num_chunks):
+            states, _ = self.run_grouped(
+                states, oracle_params, check_freq, group_size
+            )
+            done = (c + 1) * check_freq
+            path = self.paths(states)
+            collides, length = self._eval_paths(oracle_params, path)
+            feasible = ~np.asarray(collides)
+            length = np.asarray(length)
+            better = feasible & (length < best_length)
+            best_path[better] = np.asarray(path)[better]
+            best_length[better] = length[better]
+            best_feasible |= better
+            iterations[better] = done
+        final_path = np.asarray(self.paths(states))
+        best_path[~best_feasible] = final_path[~best_feasible]
+        iterations[~best_feasible] = num_chunks * check_freq
+        collides_f, length_f = self._eval_paths(
+            oracle_params, jnp.asarray(final_path)
+        )
+        length_f = np.asarray(length_f)
+        best_length[~best_feasible] = length_f[~best_feasible]
+        return TrackingResult(
+            state=states,
+            path=jnp.asarray(best_path),
+            length=jnp.asarray(best_length, jnp.float32),
+            feasible=jnp.asarray(best_feasible),
+            iterations=jnp.asarray(iterations),
+        )
+
     def solve_multi_query(
         self,
         key: jax.Array,
@@ -222,8 +277,8 @@ class BatchPlanner:
         the reference's persistent-field replanning mode, which reuses the
         field across goals only SEQUENTIALLY (ros/goal_planner_adapter.py:
         planner object persists across goal callbacks). In shared-field mode
-        the full budget runs (no per-problem early stop); evaluation happens
-        at the end.
+        the full budget runs (no per-problem early stop), with best-path
+        tracking every check_freq steps (solve_grouped_tracked).
 
         restarts > 1 replicates each query (query-major layout) and returns
         the best feasible restart per query.
@@ -243,8 +298,10 @@ class BatchPlanner:
             states = self.init_batch_grouped(
                 key, starts_b, goals_b, bounds_b, oracles, group_size=batch
             )
-            states, _ = self.run_grouped(states, oracles, max_iterations, batch)
-            result = self._evaluate_final(states, oracles, max_iterations)
+            result = self.solve_grouped_tracked(
+                states, oracles, batch, max_iterations, min_iterations,
+                check_freq,
+            )
         else:
             states = self.init_batch(key, starts_b, goals_b, bounds_b, oracles)
             result = self.solve(states, oracles, max_iterations, min_iterations, check_freq)
@@ -274,7 +331,9 @@ class BatchPlanner:
         shared_field=True trains ONE occupancy field from all restarts'
         samples (run_grouped): the field sees restarts x points per step, the
         trajectories stay independent. No per-problem early stop in this mode
-        (the full budget runs; evaluation happens at the end).
+        (the shared field must keep stepping for the whole group), but paths
+        ARE tracked: every check_freq steps each restart's current path is
+        evaluated and the best feasible one kept (solve_grouped_tracked).
         """
         result = self.solve_multi_query(
             key,

@@ -43,7 +43,10 @@ class TestMultiQuery:
         )
         assert result.path.shape == (2, 26, 3)
         assert np.isfinite(np.asarray(result.path)).all()
-        np.testing.assert_array_equal(np.asarray(result.iterations), [100, 100])
+        # iterations records when the kept (best feasible) path was found —
+        # a multiple of check_freq within the budget (solve_grouped_tracked)
+        iters = np.asarray(result.iterations)
+        assert ((iters > 0) & (iters <= 100) & (iters % 50 == 0)).all(), iters
         # endpoints pinned per query
         np.testing.assert_allclose(np.asarray(result.path[0, 0]), env.start, atol=1e-5)
         np.testing.assert_allclose(np.asarray(result.path[1, 0]), env.goal, atol=1e-5)
