@@ -28,9 +28,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # TPU-only: cached CPU AOT entries come from a different machine
+        # (incompatible features; numerics can diverge).
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from nfopp_tpu.models import ONFConfig, init_onf_params, onf_apply
     from nfopp_tpu.ops.pallas.onf_fused import onf_apply_fused
