@@ -249,7 +249,8 @@ class ConstrainedSolver:
         Schedule conds are dynamic here (single-step API parity); `run` uses a
         statically-scheduled variant — under vmap `lax.cond` lowers to select
         and EXECUTES both branches, so dynamic gating saves nothing in batched
-        mode.
+        mode. Callers vmapping single steps should use `step_static` and take
+        the reparametrization decision at trace time instead.
         """
         cfg = self.config
         key, k_field, k_traj = jax.random.split(state.key, 3)
@@ -314,10 +315,17 @@ class ConstrainedSolver:
         state, traj_loss = self._trajectory_step(state, k_traj)
         return state, field_loss, traj_loss
 
-    def _step_static(
+    def step_static(
         self, state: ConstrainedState, oracle_params: Any, with_reparam: bool
     ) -> tuple[ConstrainedState, StepAux]:
-        """Step with the reparametrization decision taken at trace time."""
+        """Step with the reparametrization decision taken at trace time.
+
+        The vmap-safe single-step API: `step`'s dynamic `lax.cond` executes
+        BOTH branches under vmap (reparametrization every step, silently ~2x
+        cost); here the caller schedules reparametrization statically, as
+        `run`'s chunked scan does (reference freq semantics:
+        nerf_opt_planner.py:60-71 — reparametrize when step_count % freq == 0).
+        """
         key, k_field, k_traj = jax.random.split(state.key, 3)
         state = state._replace(key=key)
         state, field_loss, traj_loss = self._field_and_trajectory(
@@ -511,7 +519,7 @@ class ConstrainedSolver:
             return jax.lax.scan(dyn_body, state, None, length=num_steps)
 
         state, aux = scan_chunked(
-            lambda s, r: self._step_static(s, oracle_params, with_reparam=r),
+            lambda s, r: self.step_static(s, oracle_params, with_reparam=r),
             state, num_steps, freq,
             self.config.scan_unroll, self.config.outer_scan_unroll,
         )

@@ -147,8 +147,8 @@ class HolonomicSolver:
         state = state._replace(step_count=state.step_count + 1)
         return state, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
 
-    def _step_static(self, state, oracle_params, with_reparam: bool):
-        """See ConstrainedSolver._step_static."""
+    def step_static(self, state, oracle_params, with_reparam: bool):
+        """See ConstrainedSolver.step_static."""
         cfg = self.config
         key, k_field, k_traj = jax.random.split(state.key, 3)
         state = state._replace(key=key)
@@ -225,7 +225,7 @@ class HolonomicSolver:
             return jax.lax.scan(dyn_body, state, None, length=num_steps)
 
         state, aux = scan_chunked(
-            lambda s, r: self._step_static(s, oracle_params, with_reparam=r),
+            lambda s, r: self.step_static(s, oracle_params, with_reparam=r),
             state, num_steps, freq,
             self.config.scan_unroll, self.config.outer_scan_unroll,
         )

@@ -42,16 +42,28 @@ REFERENCE_PATH = "/root/reference"
 FOOTPRINT_RADIUS = 1.0  # world units; run_benchmark.py default
 
 
-def build_scenarios(suite: str, seeds: int):
-    from nfopp_tpu.worlds import corridor, random_forest
+def build_scenarios(suite: str, seeds: int, min_geodesic: float = 0.0):
+    from nfopp_tpu.worlds import corridor, distant_endpoints, random_forest, with_endpoints
 
     if suite == "corridor":
-        return [corridor(seed=s, size=100, branches=100, radius=3)
-                for s in range(seeds)]
-    if suite == "forest":
-        return [random_forest(seed=s, size=(100, 100), obstacle_ratio=0.03)
-                for s in range(seeds)]
-    raise ValueError(suite)
+        scenarios = [corridor(seed=s, size=100, branches=100, radius=3)
+                     for s in range(seeds)]
+    elif suite == "forest":
+        scenarios = [random_forest(seed=s, size=(100, 100), obstacle_ratio=0.03)
+                     for s in range(seeds)]
+    else:
+        raise ValueError(suite)
+    if min_geodesic > 0:
+        # same endpoint resampling (and RNG) as run_benchmark.py/run_gpmp2.py
+        scenarios = [
+            with_endpoints(
+                sc, *distant_endpoints(
+                    np.random.RandomState(1000 + s), sc, min_geodesic
+                )
+            )
+            for s, sc in enumerate(scenarios)
+        ]
+    return scenarios
 
 
 def dilated_blocked(scenario) -> np.ndarray:
@@ -182,6 +194,29 @@ def _reference_parameters():
     )
 
 
+def _patch_reference_reparametrize():
+    """The reference's AstarTrajectoryInitializer crashes on its own A* output
+    whenever the start/goal coincides with a path cell center: the zero-length
+    segment gives a duplicate arc-length x and scipy interp1d (quadratic,
+    utils/math.py:57-65) raises 'Expect x to not have duplicates'. Wrap the
+    module-level reference in a consecutive-duplicate filter (driver glue —
+    the reference's bench-mr starts never sit exactly on cell centers, ours
+    legitimately do)."""
+    import neural_field_optimal_planner.astar.astar_trajectory_initializer as ati
+
+    if getattr(ati, "_nfopp_dedup_patch", False):
+        return
+    orig = ati.reparametrize_path
+
+    def dedup_reparametrize(path, length, *a, **k):
+        keep = np.ones(len(path), bool)
+        keep[1:] = np.linalg.norm(np.diff(path, axis=0), axis=1) > 1e-9
+        return orig(path[keep], length, *a, **k)
+
+    ati.reparametrize_path = dedup_reparametrize
+    ati._nfopp_dedup_patch = True
+
+
 def reference_run(scenario, seed: int, iterations: int, evaluator):
     """One reference solve with the run_bench_mr.py tracking loop; returns
     (final path [102, 3] or None on A* failure, seconds)."""
@@ -194,6 +229,8 @@ def reference_run(scenario, seed: int, iterations: int, evaluator):
     torch.autograd.set_detect_anomaly(False)
     from neural_field_optimal_planner.planner_factory import PlannerFactory
 
+    _patch_reference_reparametrize()
+
     checker = _make_grid_checker(
         dilated_blocked(scenario), scenario.origin, scenario.resolution,
         scenario.bounds,
@@ -203,9 +240,10 @@ def reference_run(scenario, seed: int, iterations: int, evaluator):
     )
     t0 = time.time()
     try:
+        # init() adds the [None] batch dim itself (nerf_opt_planner.py:181-183)
         planner.init(
-            scenario.start[None].astype(np.float32),
-            scenario.goal[None].astype(np.float32),
+            scenario.start.astype(np.float32),
+            scenario.goal.astype(np.float32),
             scenario.bounds,
         )
     except Exception as exc:  # A* init failure (no path at this resolution)
@@ -258,6 +296,11 @@ def main():
                         default="corridor")
     parser.add_argument("--seeds", type=int, default=10)
     parser.add_argument("--iterations", type=int, default=1000)
+    parser.add_argument("--min-geodesic", type=float, default=0.0,
+                        help="resample endpoint pairs until the dilated-grid "
+                        "geodesic is at least this long (default endpoints "
+                        "are often a few cells apart — degenerate parity "
+                        "problems)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--skip-reference", action="store_true")
     parser.add_argument("--json-out", default=None)
@@ -271,7 +314,7 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    scenarios = build_scenarios(args.suite, args.seeds)
+    scenarios = build_scenarios(args.suite, args.seeds, args.min_geodesic)
     evaluators = [make_evaluator(s) for s in scenarios]
 
     ours_paths, ours_time = ours_suite_run(scenarios, args.iterations)
@@ -305,6 +348,7 @@ def main():
         "suite": args.suite,
         "seeds": args.seeds,
         "iterations": args.iterations,
+        "min_geodesic": args.min_geodesic,
         "footprint_radius": FOOTPRINT_RADIUS,
         "ours_feasible": int(ours_feasible.sum()),
         "ref_feasible": int(ref_feasible.sum()),

@@ -76,7 +76,7 @@ def main():
 
     # full steps for calibration
     def full(s):
-        new, _ = solver._step_static(s, oracles_single(s), with_reparam=False)
+        new, _ = solver.step_static(s, oracles_single(s), with_reparam=False)
         return new
 
     # capture a single-problem oracle closure via the vmapped axis:
