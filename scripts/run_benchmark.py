@@ -136,6 +136,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # TPU-only persistent compile cache (CPU entries in .jax_cache come
+        # from a different machine; see bench.py)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from nfopp_tpu.bench.runner import run_grid_suite
     from nfopp_tpu.utils import Config
