@@ -54,12 +54,24 @@ def run_grid_suite(
     planner_name: str = "constrained_onf_planner",
     mesh=None,
     astar_init: bool = True,
+    stop_on_plateau: bool = True,
+    restart_failed: int = 0,
 ) -> SuiteResult:
     """Solve every scenario in one batch; scenarios must share grid shape.
 
     astar_init=True seeds each problem with a batched wavefront geodesic path
     (the benchmark-mode AstarTrajectoryInitializer role, run_bench_mr.py:23-27),
     computed on device against the footprint-dilated grid.
+
+    stop_on_plateau=False spends the full iteration budget refining instead of
+    stopping at the reference's first non-improving feasible check (see
+    solver.tracking.run_with_tracking).
+
+    restart_failed=R > 0 re-solves every infeasible problem as a batch of R
+    fresh random restarts (same world, same init trajectory, new RNG streams)
+    and keeps the shortest feasible restart — the portfolio fallback for
+    chaotic problems (the NFOPP objective is seed-dependent; restarts ride the
+    same batch machinery, so the retry costs one extra batched solve).
     """
     if parameters is None:
         parameters = DEFAULT_PARAMETERS
@@ -103,13 +115,50 @@ def run_grid_suite(
     result = planner.solve(
         states, oracles, max_iterations=max_iterations,
         min_iterations=min_iterations, check_freq=check_freq,
+        stop_on_plateau=stop_on_plateau,
     )
-    paths = np.asarray(jax.block_until_ready(result.path))
-    wall = time.time() - t0
+    paths = np.asarray(jax.block_until_ready(result.path)).copy()
+    feasible = np.asarray(result.feasible).copy()
+    lengths = np.asarray(result.length).copy()
+    iterations = np.asarray(result.iterations).copy()
 
-    feasible = np.asarray(result.feasible)
-    lengths = np.asarray(result.length)
-    iterations = np.asarray(result.iterations)
+    if restart_failed > 0 and not feasible.all():
+        failed = np.where(~feasible)[0]
+        r = restart_failed
+        total = len(failed) * r
+        # problem-major replication, padded so the retry batch shards evenly
+        sel = np.repeat(failed, r)
+        pad = (-total) % planner.mesh.devices.size
+        if pad:
+            sel = np.concatenate([sel, np.repeat(failed[-1:], pad)])
+        idx = jnp.asarray(sel)
+        rep = lambda x: jnp.asarray(x)[idx]
+        oracles_f = jax.tree_util.tree_map(rep, oracles)
+        states_f = planner.init_batch(
+            jax.random.PRNGKey(seed ^ 0x5EED0F), rep(starts), rep(goals),
+            rep(bounds),
+            oracles_f,
+            None if trajectories is None else rep(trajectories),
+        )
+        retry = planner.solve(
+            states_f, oracles_f, max_iterations=max_iterations,
+            min_iterations=min_iterations, check_freq=check_freq,
+            stop_on_plateau=stop_on_plateau,
+        )
+        r_paths = np.asarray(retry.path)[:total].reshape(len(failed), r, *paths.shape[1:])
+        r_feas = np.asarray(retry.feasible)[:total].reshape(len(failed), r)
+        r_len = np.asarray(retry.length)[:total].reshape(len(failed), r)
+        r_iter = np.asarray(retry.iterations)[:total].reshape(len(failed), r)
+        for j, b in enumerate(failed):
+            ok = np.where(r_feas[j])[0]
+            if len(ok):
+                best = ok[np.argmin(r_len[j][ok])]
+                paths[b] = r_paths[j, best]
+                lengths[b] = r_len[j, best]
+                feasible[b] = True
+                # total optimization spent on this problem: first try + restarts
+                iterations[b] = iterations[b] + int(r_iter[j, best])
+    wall = time.time() - t0
 
     log = ResultsLog(settings={"nfomp": dict(parameters)})
     stats_list = []

@@ -75,9 +75,10 @@ class BatchPlanner:
             )
         self._track = jax.jit(
             jax.vmap(
-                partial(run_with_tracking, solver), in_axes=(0, 0, None, None, None)
+                partial(run_with_tracking, solver),
+                in_axes=(0, 0, None, None, None, None, None),
             ),
-            static_argnums=(2, 3, 4),
+            static_argnums=(2, 3, 4, 5, 6),
             out_shardings=self._sharding,
         )
         self._eval_paths = jax.jit(
@@ -172,11 +173,15 @@ class BatchPlanner:
         max_iterations: int = 1000,
         min_iterations: int = 200,
         check_freq: int = 50,
+        samples_per_segment: int = 5,
+        stop_on_plateau: bool = True,
     ) -> TrackingResult:
         """Benchmark-mode solve with per-problem best-path tracking/early stop
-        (scripts/run_bench_mr.py semantics, batched)."""
+        (scripts/run_bench_mr.py semantics, batched). stop_on_plateau=False
+        spends the whole budget refining (see run_with_tracking)."""
         return self._track(
-            states, oracle_params, max_iterations, min_iterations, check_freq
+            states, oracle_params, max_iterations, min_iterations, check_freq,
+            samples_per_segment, stop_on_plateau,
         )
 
     def paths(self, states: Any) -> jnp.ndarray:

@@ -80,7 +80,8 @@ def dilated_blocked(scenario) -> np.ndarray:
 # ---------------------------------------------------------------- our side
 
 
-def ours_suite_run(scenarios, iterations: int):
+def ours_suite_run(scenarios, iterations: int, full_budget: bool = False,
+                   restart_failed: int = 0):
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
     from run_benchmark import bench_parameters
 
@@ -94,6 +95,8 @@ def ours_suite_run(scenarios, iterations: int):
         max_iterations=iterations,
         min_iterations=200,
         check_freq=50,
+        stop_on_plateau=not full_budget,
+        restart_failed=restart_failed,
     )
     return result.paths, time.time() - t0
 
@@ -301,6 +304,14 @@ def main():
                         "geodesic is at least this long (default endpoints "
                         "are often a few cells apart — degenerate parity "
                         "problems)")
+    parser.add_argument("--full-budget", action="store_true",
+                        help="ours side: spend the whole iteration budget "
+                        "refining (no plateau early-stop; same budget, "
+                        "TPU-native use of it)")
+    parser.add_argument("--restart-failed", type=int, default=0,
+                        help="ours side: portfolio fallback restarts for "
+                        "infeasible problems (reported separately — changes "
+                        "the comparison from single-solve parity)")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--skip-reference", action="store_true")
     parser.add_argument("--json-out", default=None)
@@ -317,7 +328,9 @@ def main():
     scenarios = build_scenarios(args.suite, args.seeds, args.min_geodesic)
     evaluators = [make_evaluator(s) for s in scenarios]
 
-    ours_paths, ours_time = ours_suite_run(scenarios, args.iterations)
+    ours_paths, ours_time = ours_suite_run(
+        scenarios, args.iterations, args.full_budget, args.restart_failed
+    )
     ours_eval = [ev(p) for ev, p in zip(evaluators, ours_paths)]
     ours_feasible = np.array([not c for c, _ in ours_eval])
     ours_lengths = np.array([l for _, l in ours_eval])
@@ -326,6 +339,20 @@ def main():
 
     if args.skip_reference or not pathlib.Path(REFERENCE_PATH).exists():
         print("reference: skipped")
+        if args.json_out:
+            report = {
+                "suite": args.suite, "seeds": args.seeds,
+                "iterations": args.iterations,
+                "min_geodesic": args.min_geodesic,
+                "full_budget": args.full_budget,
+                "restart_failed": args.restart_failed,
+                "ours_feasible": int(ours_feasible.sum()),
+                "ours_feasible_mask": ours_feasible.tolist(),
+                "ours_lengths": [round(float(x), 4) for x in ours_lengths],
+                "ours_wall_s": round(ours_time, 1),
+            }
+            pathlib.Path(args.json_out).write_text(json.dumps(report, indent=1))
+            print(f"report written to {args.json_out}")
         return 0
 
     ref_paths, ref_secs = [], 0.0
@@ -350,9 +377,13 @@ def main():
         "iterations": args.iterations,
         "min_geodesic": args.min_geodesic,
         "footprint_radius": FOOTPRINT_RADIUS,
+        "full_budget": args.full_budget,
+        "restart_failed": args.restart_failed,
         "ours_feasible": int(ours_feasible.sum()),
         "ref_feasible": int(ref_feasible.sum()),
         "both_feasible": int(both.sum()),
+        "ours_feasible_mask": ours_feasible.tolist(),
+        "ref_feasible_mask": ref_feasible.tolist(),
         "ours_lengths": [round(float(x), 4) for x in ours_lengths],
         "ref_lengths": [None if np.isnan(x) else round(float(x), 4)
                         for x in ref_lengths],

@@ -127,6 +127,12 @@ def main():
                         "least this long (corridor/forest suites)")
     parser.add_argument("--max-iterations", type=int, default=1000)
     parser.add_argument("--min-iterations", type=int, default=200)
+    parser.add_argument("--full-budget", action="store_true",
+                        help="disable the reference's plateau early-stop: spend "
+                        "all iterations refining, return the best tracked path")
+    parser.add_argument("--restart-failed", type=int, default=0, metavar="R",
+                        help="re-solve infeasible problems as R fresh restarts "
+                        "(one extra batched solve), keep the best feasible")
     parser.add_argument("--nfomp", help="JSON file/string with parameter overrides")
     parser.add_argument("--out", default="/tmp/nfopp_results.json")
     parser.add_argument("--cpu", action="store_true")
@@ -168,6 +174,8 @@ def main():
         footprint_radius=args.footprint_radius,
         max_iterations=args.max_iterations,
         min_iterations=args.min_iterations,
+        stop_on_plateau=not args.full_budget,
+        restart_failed=args.restart_failed,
     )
 
     feasible = result.feasible
