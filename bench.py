@@ -75,16 +75,11 @@ def main() -> None:
 
     import jax
 
-    # Persistent compilation cache: the remote-compile tunnel in this
-    # environment is slow/flaky; a warm cache makes bench runs start in
-    # seconds instead of minutes. TPU-only: the cache holds CPU AOT
-    # executables compiled on a DIFFERENT machine (incompatible CPU
-    # features — loader warns, numerics can diverge, SIGILL possible).
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from nfopp_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()  # TPU-only (backend-checked, see its docstring)
     if args.rbg:
         jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp

@@ -56,7 +56,9 @@ def _edge_mask(shape, di: int, dj: int) -> jnp.ndarray:
 def distance_field(
     blocked: jnp.ndarray, goal_cell: jnp.ndarray, num_iterations: int | None = None
 ) -> jnp.ndarray:
-    """[H, W] geodesic distance to `goal_cell` (row, col); inf where unreachable.
+    """[H, W] geodesic distance to `goal_cell` (row, col); the FINITE sentinel
+    `_INF` (~7.5e37, not jnp.inf — keeps min-plus arithmetic NaN-free) marks
+    unreachable cells: test `d > 1e30`, not `isfinite`.
 
     num_iterations bounds the propagation front; default H + W covers any
     simple path's relaxation count (each sweep extends every shortest path by

@@ -188,21 +188,6 @@ class BatchPlanner:
         """[B, N+2, d] full trajectories with pinned endpoints."""
         return jax.vmap(self.solver.full_trajectory)(states)
 
-    def _evaluate_final(self, states: Any, oracles: Any, iterations: int) -> TrackingResult:
-        """Wrap finished states in a TrackingResult by evaluating final paths
-        (used by the shared-field modes, which run the full budget with no
-        per-problem early stop)."""
-        path = self.paths(states)
-        collides, length = self._eval_paths(oracles, path)
-        batch = path.shape[0]
-        return TrackingResult(
-            state=states,
-            path=path,
-            length=length,
-            feasible=~collides,
-            iterations=jnp.full(batch, iterations, jnp.int32),
-        )
-
     def solve_grouped_tracked(
         self,
         states: Any,
@@ -217,10 +202,14 @@ class BatchPlanner:
         run_grouped has no per-problem early stop (the shared field must keep
         stepping for the whole group), so tracking runs as a host-side chunk
         loop — the reference's own run_bench_mr.py:111-134 shape: advance
-        check_freq steps, evaluate every path, keep the shortest feasible one
-        per problem. Without this, chaotic scenes (two-walls) report 0
-        feasibility even when feasible paths existed mid-run: the final
-        iterate oscillates in and out of feasibility.
+        check_freq steps, evaluate every path past min_iterations, keep the
+        shortest feasible one per problem, full budget always spent.
+
+        (Measured caveat: on the chaotic two-walls scene this tracking does
+        NOT rescue shared-field portfolios — restarts sharing one field share
+        its random-Fourier landscape and fail together; see
+        artifacts/two_walls_reliability.json. Independent fields are the
+        diversity mechanism; shared fields are for fleets on one map.)
         """
         num_chunks = -(-max_iterations // check_freq)
         best_path = np.array(self.paths(states))  # writable copy
@@ -228,6 +217,9 @@ class BatchPlanner:
         best_length = np.full(batch, np.inf)
         best_feasible = np.zeros(batch, bool)
         iterations = np.zeros(batch, np.int32)
+        path = np.asarray(best_path)
+        length = np.full(batch, np.nan)
+        feasible = np.zeros(batch, bool)
         for c in range(num_chunks):
             states, _ = self.run_grouped(
                 states, oracle_params, check_freq, group_size
@@ -237,24 +229,26 @@ class BatchPlanner:
             collides, length = self._eval_paths(oracle_params, path)
             feasible = ~np.asarray(collides)
             length = np.asarray(length)
-            better = feasible & (length < best_length)
-            best_path[better] = np.asarray(path)[better]
+            path = np.asarray(path)
+            # reference check window: i > min_iterations (run_bench_mr.py:119)
+            better = (done > min_iterations) & feasible & (length < best_length)
+            best_path[better] = path[better]
             best_length[better] = length[better]
             best_feasible |= better
             iterations[better] = done
-        final_path = np.asarray(self.paths(states))
-        best_path[~best_feasible] = final_path[~best_feasible]
-        iterations[~best_feasible] = num_chunks * check_freq
-        collides_f, length_f = self._eval_paths(
-            oracle_params, jnp.asarray(final_path)
-        )
-        length_f = np.asarray(length_f)
-        best_length[~best_feasible] = length_f[~best_feasible]
+        # the last chunk's path/length ARE the final ones — no re-evaluation;
+        # a final-iterate feasibility counts even without a tracked best
+        # (run_with_tracking: feasible = ~final_collides | has_best)
+        no_best = ~best_feasible
+        best_path[no_best] = path[no_best]
+        best_length[no_best] = length[no_best]
+        iterations[no_best] = num_chunks * check_freq
+        feasible_out = best_feasible | (no_best & feasible)
         return TrackingResult(
             state=states,
             path=jnp.asarray(best_path),
             length=jnp.asarray(best_length, jnp.float32),
-            feasible=jnp.asarray(best_feasible),
+            feasible=jnp.asarray(feasible_out),
             iterations=jnp.asarray(iterations),
         )
 

@@ -21,6 +21,7 @@ from .scenarios import (  # noqa: F401
     corridor,
     dilate,
     distant_endpoints,
+    resample_distant_endpoints,
     with_endpoints,
     parse_movingai_map,
     parse_movingai_scen,

@@ -181,6 +181,29 @@ def with_endpoints(scenario: GridScenario, start: np.ndarray,
     )
 
 
+def resample_distant_endpoints(
+    scenarios: list[GridScenario], min_geodesic: float,
+) -> list[GridScenario]:
+    """Endpoint pairs at least min_geodesic apart for a whole suite.
+
+    THE canonical resampling for every suite script (run_benchmark.py,
+    run_gpmp2.py, compare_suites.py): the per-scenario RNG is seeded
+    1000 + index, so two scripts given the same scenario list and the same
+    min_geodesic plan the exact same problems — cross-script parity claims
+    depend on this staying in one place.
+    """
+    if min_geodesic <= 0:
+        return scenarios
+    return [
+        with_endpoints(
+            sc, *distant_endpoints(
+                np.random.RandomState(1000 + s), sc, min_geodesic
+            )
+        )
+        for s, sc in enumerate(scenarios)
+    ]
+
+
 def random_forest(
     seed: int, size: tuple[int, int] = (100, 100), obstacle_ratio: float = 0.03,
     resolution: float = 1.0,

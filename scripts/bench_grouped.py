@@ -50,11 +50,9 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
-        # TPU-only: cached CPU AOT entries come from a different machine
-        # (incompatible features; numerics can diverge).
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from nfopp_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()  # TPU-only (backend-checked)
     import jax.numpy as jnp
 
     from nfopp_tpu.parallel import BatchPlanner, problem_mesh

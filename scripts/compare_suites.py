@@ -43,7 +43,7 @@ FOOTPRINT_RADIUS = 1.0  # world units; run_benchmark.py default
 
 
 def build_scenarios(suite: str, seeds: int, min_geodesic: float = 0.0):
-    from nfopp_tpu.worlds import corridor, distant_endpoints, random_forest, with_endpoints
+    from nfopp_tpu.worlds import corridor, random_forest, resample_distant_endpoints
 
     if suite == "corridor":
         scenarios = [corridor(seed=s, size=100, branches=100, radius=3)
@@ -53,17 +53,8 @@ def build_scenarios(suite: str, seeds: int, min_geodesic: float = 0.0):
                      for s in range(seeds)]
     else:
         raise ValueError(suite)
-    if min_geodesic > 0:
-        # same endpoint resampling (and RNG) as run_benchmark.py/run_gpmp2.py
-        scenarios = [
-            with_endpoints(
-                sc, *distant_endpoints(
-                    np.random.RandomState(1000 + s), sc, min_geodesic
-                )
-            )
-            for s, sc in enumerate(scenarios)
-        ]
-    return scenarios
+    # one canonical resampler => identical worlds across all suite scripts
+    return resample_distant_endpoints(scenarios, min_geodesic)
 
 
 def dilated_blocked(scenario) -> np.ndarray:
@@ -251,7 +242,7 @@ def reference_run(scenario, seed: int, iterations: int, evaluator):
         )
     except Exception as exc:  # A* init failure (no path at this resolution)
         print(f"    reference init failed: {type(exc).__name__}: {exc}")
-        return None, time.time() - t0
+        return None, True, np.nan, time.time() - t0
 
     # best-path tracking loop, run_bench_mr.py:111-134
     best_length, best_path = np.inf, None
@@ -265,10 +256,10 @@ def reference_run(scenario, seed: int, iterations: int, evaluator):
             elif not collision:
                 break
     path = planner.get_path()
-    collision, _ = evaluator(path)
+    collision, length = evaluator(path)
     if collision and best_path is not None:
-        path = best_path
-    return path, time.time() - t0
+        path, collision, length = best_path, False, best_length
+    return path, collision, length, time.time() - t0
 
 
 # ------------------------------------------------------------- evaluation
@@ -355,16 +346,16 @@ def main():
             print(f"report written to {args.json_out}")
         return 0
 
-    ref_paths, ref_secs = [], 0.0
+    ref_eval, ref_secs = [], 0.0
     for k, (scenario, ev) in enumerate(zip(scenarios, evaluators)):
-        path, secs = reference_run(scenario, k, args.iterations, ev)
+        path, collision, length, secs = reference_run(
+            scenario, k, args.iterations, ev
+        )
         ref_secs += secs
-        ref_paths.append(path)
+        ref_eval.append((collision, length))
         status = "init-failed" if path is None else (
-            "feasible" if not ev(path)[0] else "COLLIDES")
+            "COLLIDES" if collision else "feasible")
         print(f"  reference problem {k}: {status} ({secs:.1f}s)")
-    ref_eval = [(True, np.nan) if p is None else ev(p)
-                for ev, p in zip(evaluators, ref_paths)]
     ref_feasible = np.array([not c for c, _ in ref_eval])
     ref_lengths = np.array([l for _, l in ref_eval])
     print(f"reference: feasible {ref_feasible.sum()}/{len(scenarios)}, "

@@ -95,7 +95,9 @@ def make_scen_entries(blocked: np.ndarray, map_name: str, count: int,
         gi, gj = int(free_i[b]), int(free_j[b])
         dist = dfield(jnp.asarray(blocked), jnp.asarray([gi, gj]))
         optimal = float(dist[si, sj])
-        if not np.isfinite(optimal) or optimal < 60.0:  # skip trivial/unreachable
+        # unreachable = the wavefront's FINITE sentinel (~7.5e37), NOT inf —
+        # np.isfinite would pass it; same guard as worlds.distant_endpoints
+        if optimal > 1e30 or optimal < 60.0:  # skip unreachable/trivial
             continue
         # MovingAI columns: bucket map width height start_x start_y goal_x goal_y optimal
         lines.append(

@@ -30,10 +30,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
-        # TPU-only: cached CPU AOT entries come from a different machine
-        # (incompatible features; numerics can diverge).
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from nfopp_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()  # TPU-only (backend-checked)
 
     from nfopp_tpu.models import ONFConfig, init_onf_params, onf_apply
     from nfopp_tpu.ops.pallas.onf_fused import onf_apply_fused

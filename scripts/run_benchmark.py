@@ -27,22 +27,15 @@ def build_scenarios(args):
     import numpy as np
 
     from nfopp_tpu.worlds import (
-        corridor, distant_endpoints, parse_movingai_map, parse_movingai_scen,
-        random_forest, with_endpoints,
+        corridor, parse_movingai_map, parse_movingai_scen, random_forest,
+        resample_distant_endpoints,
     )
     from nfopp_tpu.worlds.scenarios import GridScenario, random_free_pose
 
     def far(scenarios):
-        if not getattr(args, "min_geodesic", 0):
-            return scenarios
-        return [
-            with_endpoints(
-                sc, *distant_endpoints(
-                    np.random.RandomState(1000 + s), sc, args.min_geodesic
-                )
-            )
-            for s, sc in enumerate(scenarios)
-        ]
+        return resample_distant_endpoints(
+            scenarios, getattr(args, "min_geodesic", 0) or 0.0
+        )
 
     if args.suite == "corridor":
         return far([corridor(seed=s, size=100, branches=100, radius=3) for s in range(args.seeds)])
@@ -142,11 +135,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
-        # TPU-only persistent compile cache (CPU entries in .jax_cache come
-        # from a different machine; see bench.py)
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from nfopp_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()  # TPU-only (backend-checked)
 
     from nfopp_tpu.bench.runner import run_grid_suite
     from nfopp_tpu.utils import Config

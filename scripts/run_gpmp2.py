@@ -41,21 +41,13 @@ def main():
     from nfopp_tpu.bench import ResultsLog, path_statistics
     from nfopp_tpu.utils.host_math import calculate_tangent
     from nfopp_tpu.worlds import (
-        corridor, distant_endpoints, grid_collision, random_forest,
-        with_endpoints,
+        corridor, grid_collision, random_forest, resample_distant_endpoints,
     )
 
     make = corridor if args.suite == "corridor" else (lambda seed: random_forest(seed=seed))
-    scenarios = [make(seed=s) for s in range(args.seeds)]
-    if args.min_geodesic > 0:
-        scenarios = [
-            with_endpoints(
-                sc, *distant_endpoints(
-                    np.random.RandomState(1000 + s), sc, args.min_geodesic
-                )
-            )
-            for s, sc in enumerate(scenarios)
-        ]
+    scenarios = resample_distant_endpoints(
+        [make(seed=s) for s in range(args.seeds)], args.min_geodesic
+    )
 
     oracles = [s.oracle(args.footprint_radius) for s in scenarios]
     sdfs = [

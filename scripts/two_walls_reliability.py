@@ -34,12 +34,11 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    else:
-        # TPU-only: cached CPU AOT entries come from a different machine
-        # (incompatible features; numerics can diverge — observed on this
-        # very probe: cached vs native CPU runs disagreed on a chaotic scene).
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from nfopp_tpu.utils import enable_tpu_compile_cache
+
+    # TPU-only, backend-checked (this very probe once diverged on a chaotic
+    # scene when cross-machine cached CPU AOT entries were loaded)
+    enable_tpu_compile_cache()
     import jax.numpy as jnp
 
     from nfopp_tpu.parallel import BatchPlanner, problem_mesh

@@ -51,7 +51,8 @@ def _env(n_local_devices: int) -> dict:
 
 
 def _launch(coordinator: str, num_processes: int, process_id: int,
-            batch_per_host: int, n_local: int, out: pathlib.Path):
+            batch_per_host: int, n_local: int, out: pathlib.Path,
+            log: pathlib.Path):
     cmd = [
         sys.executable, str(SCRIPT), "--cpu",
         "--num-processes", str(num_processes),
@@ -62,19 +63,32 @@ def _launch(coordinator: str, num_processes: int, process_id: int,
     ]
     if num_processes > 1:
         cmd += ["--coordinator", coordinator]
+    # stdout goes to a FILE, not a pipe: the two processes are coupled by the
+    # distributed barrier, so a full 64 KB pipe buffer on one would deadlock
+    # the sequential communicate() on the other.
     return subprocess.Popen(
         cmd, env=_env(n_local), cwd=str(REPO),
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        stdout=log.open("w"), stderr=subprocess.STDOUT, text=True,
     )
 
 
 def test_two_process_distributed_matches_single_process(tmp_path):
     coordinator = f"localhost:{_free_port()}"
     outs = [tmp_path / f"host{i}.json" for i in range(2)]
+    logfiles = [tmp_path / f"host{i}.log" for i in range(2)]
     procs = [
-        _launch(coordinator, 2, i, BATCH_PER_HOST, 4, outs[i]) for i in range(2)
+        _launch(coordinator, 2, i, BATCH_PER_HOST, 4, outs[i], logfiles[i])
+        for i in range(2)
     ]
-    logs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        for p in procs:
+            p.wait(timeout=600)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    logs = [f.read_text() for f in logfiles]
     for i, p in enumerate(procs):
         if p.returncode != 0:
             tail = "\n".join(logs[i].splitlines()[-25:])
@@ -96,9 +110,17 @@ def test_two_process_distributed_matches_single_process(tmp_path):
 
     # single-process control: same global batch on an 8-device local mesh
     out_single = tmp_path / "single.json"
-    p = _launch("", 1, 0, 2 * BATCH_PER_HOST, 8, out_single)
-    log = p.communicate(timeout=600)[0]
-    assert p.returncode == 0, "\n".join(log.splitlines()[-25:])
+    log_single = tmp_path / "single.log"
+    p = _launch("", 1, 0, 2 * BATCH_PER_HOST, 8, out_single, log_single)
+    try:
+        p.wait(timeout=600)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.wait()
+    assert p.returncode == 0, "\n".join(
+        log_single.read_text().splitlines()[-25:]
+    )
     single = json.loads(out_single.read_text())
     assert single["global_devices"] == 8
 
