@@ -125,7 +125,12 @@ def onf_apply(params: dict, x: jnp.ndarray, config: ONFConfig = ONFConfig()) -> 
     fourier = config.fourier_features
     hid = config.hidden
     xy = (x[:, :2] - config.mean) / config.sigma
-    enc = mm(xy, params["encoding"]["w"]) + params["encoding"]["b"]
+    enc = mm(xy, params["encoding"]["w"])
+    if config.bias:
+        # bias=False must mean NO trainable bias (ref nn.Linear(bias=False),
+        # onf_model.py:29): the zero leaf stays in the pytree for structural
+        # stability, but an unused leaf gets zero grads, so Adam never moves it
+        enc = enc + params["encoding"]["b"]
     if config.use_cos:
         h = fourier // 2
         enc = jnp.concatenate([jnp.sin(enc[:, :h]), jnp.cos(enc[:, h:])], axis=1)

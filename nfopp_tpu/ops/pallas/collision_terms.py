@@ -31,7 +31,7 @@ from .onf_fused import _round_up, pad_onf_params
 __all__ = ["make_collision_terms"]
 
 
-def _forward_core(x, mult_col, config: ONFConfig, refs):
+def _forward_core(x, config: ONFConfig, refs):
     """Shared forward: returns (fourier_feats, angle_feats, enc, phase, freq,
     pre1, h1, pre2, h2, z[M,128] col0)."""
     (ew, eb, ab, w1a_v, w1b_v, b1_v, w2_v, b2_v, w3h_v, w3a_v, w3b_v, b3_v) = refs
@@ -77,7 +77,7 @@ def _fwd_kernel(x_ref, mult_ref, *param_refs, out_ref, config, valid_rows, beta)
     x = x_ref[0]
     mult = mult_ref[0]
     refs = tuple(r[0] for r in param_refs)
-    *_, z = _forward_core(x, mult, config, refs)
+    *_, z = _forward_core(x, config, refs)
     m = x.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 1)
@@ -103,7 +103,7 @@ def _bwd_kernel(x_ref, mult_ref, g_ref, *param_refs, dx_ref, dmult_ref,
     refs = tuple(r[0] for r in param_refs)
     (ew, eb, ab, w1a_v, w1b_v, b1_v, w2_v, b2_v, w3h_v, w3a_v, w3b_v, b3_v) = refs
     (fourier_feats, angle_feats, enc, colf, col128, phase, freq,
-     pre1, h1, pre2, h2, z) = _forward_core(x, mult, config, refs)
+     pre1, h1, pre2, h2, z) = _forward_core(x, config, refs)
 
     fourier = config.fourier_features
     half = fourier // 2

@@ -165,7 +165,11 @@ def field_loss_and_grad_fused(
     """(mean BCE loss, param-grad pytree) for ONE problem; vmap over batches.
 
     points [M, 2|3], truth [M] bool/float. Matches
-    `solver.field.field_loss_and_grad` up to f32 reassociation.
+    `solver.field.field_loss_and_grad` up to f32 reassociation WHEN
+    compute_dtype is float32: the kernel always multiplies in f32 (MXU
+    preferred_element_type), so under compute_dtype='bfloat16' the XLA path's
+    bf16 matmuls and this kernel legitimately diverge — switching
+    use_fused_field_grad is numerics-preserving only in full f32.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -227,7 +231,10 @@ def field_loss_and_grad_fused(
     grads = {
         "encoding": {
             "w": res["d_enc_w"][:2, :fourier],
-            "b": res["d_enc_b"][0, :fourier],
+            # bias=False => non-trainable bias (ref nn.Linear(bias=False));
+            # zero the grad so the zero leaf never drifts
+            "b": res["d_enc_b"][0, :fourier] if config.bias
+            else jnp.zeros((fourier,), res["d_enc_b"].dtype),
         },
         "mlp1": {
             "w": jnp.concatenate(

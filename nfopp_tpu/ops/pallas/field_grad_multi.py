@@ -216,7 +216,9 @@ def field_loss_and_grad_multi(
     grads = {
         "encoding": {
             "w": res["d_enc_w"][:, :2, :fourier],
-            "b": res["d_enc_b"][:, 0, :fourier],
+            # bias=False => non-trainable bias; zero the grad (see field_grad.py)
+            "b": res["d_enc_b"][:, 0, :fourier] if config.bias
+            else jnp.zeros_like(res["d_enc_b"][:, 0, :fourier]),
         },
         "mlp1": {
             "w": jnp.concatenate(

@@ -131,7 +131,10 @@ class NFOPPlanner:
         self._key = jax.random.PRNGKey(seed)
         self._initial_trajectory_fn = initial_trajectory_fn
         self._state = None
-        self._jit_run = jax.jit(solver.run, static_argnums=2)
+        # host-side mirror of state.step_count % freq: run()'s static schedule
+        # is only valid entering aligned (see ConstrainedSolver.run)
+        self._steps_since_reset = 0
+        self._jit_run = jax.jit(solver.run, static_argnums=(2, 3))
         self._jit_update_goal = jax.jit(solver.update_goal)
         self._jit_update_start = jax.jit(solver.update_start)
 
@@ -165,10 +168,16 @@ class NFOPPlanner:
             self._oracle_params,
             trajectory=trajectory,
         )
+        self._steps_since_reset = 0
 
     def step(self, num_steps: int = 1):
         """Advance the solve; returns the per-step aux diagnostics."""
-        self._state, aux = self._jit_run(self._state, self._oracle_params, num_steps)
+        freq = self._solver.config.reparametrize_trajectory_freq
+        aligned = freq <= 1 or self._steps_since_reset % freq == 0
+        self._state, aux = self._jit_run(
+            self._state, self._oracle_params, num_steps, aligned
+        )
+        self._steps_since_reset += num_steps
         return aux
 
     def get_path(self) -> np.ndarray:
@@ -178,12 +187,15 @@ class NFOPPlanner:
         self._state = self._solver.set_boundaries(
             self._state, jnp.asarray(boundaries, jnp.float32)
         )
+        self._steps_since_reset = 0  # set_boundaries resets step_count
 
     def update_goal_point(self, goal_point) -> None:
         self._state = self._jit_update_goal(self._state, jnp.asarray(goal_point, jnp.float32))
+        self._steps_since_reset = 0  # update_goal resets step_count
 
     def update_start_point(self, start_point) -> None:
         self._state = self._jit_update_start(self._state, jnp.asarray(start_point, jnp.float32))
+        self._steps_since_reset = 0  # update_start resets step_count
 
 
 class PlannerFactory:
@@ -209,7 +221,10 @@ class PlannerFactory:
         (planner_factory.py:50-60) unless parameters are given."""
         if parameters is None:
             config = SolverConfig(
-                onf=ONFConfig(mean=1.5, sigma=1.0, use_cos=False, angle_encoding=False),
+                # ONF(1.5, 1): use_normal_init defaults False in the reference
+                # ctor (onf_model.py:8) -> U(-1/sqrt(2), 1/sqrt(2)) encoding init
+                onf=ONFConfig(mean=1.5, sigma=1.0, use_cos=False,
+                              use_normal_init=False, angle_encoding=False),
                 collision_lr=1e-3,
                 collision_betas=(0.9, 0.9),
                 trajectory_lr=1e-2,

@@ -2,10 +2,15 @@
 
 One hashable NamedTuple covers both the holonomic and the SE(2)-constrained
 solver. Field names track the reference constructor arguments
-(nerf_opt_planner.py:11-14, constrained_nerf_opt_planner.py:13-18) so configs
-translate 1:1; defaults below match `planner_factory.DEFAULT_PARAMETERS`
-(planner_factory.py:11-46). Because the config is static under jit, every
-numeric here is baked into the compiled step — changing one recompiles.
+(nerf_opt_planner.py:11-14, constrained_nerf_opt_planner.py:13-18) and the
+class defaults match those CONSTRUCTOR defaults (e.g.
+constraint_deltas_weight=20, multipliers_lr=1e-1 —
+constrained_nerf_opt_planner.py:16-17). The factory preset
+`planner_factory.DEFAULT_PARAMETERS` (planner_factory.py:11-46) differs on
+those two (0.2 / 1e-3) — use `default_constrained_config()` for factory
+parity, `run_planner_config()` / `bench_mr_config()` for the script presets.
+Because the config is static under jit, every numeric here is baked into the
+compiled step — changing one recompiles.
 """
 from __future__ import annotations
 
@@ -32,6 +37,9 @@ class SolverConfig(NamedTuple):
     random_field_points: int = 10
     collision_point_count: int = 100  # replay buffer capacity K
     buffer_age_decay: float = 0.03  # exp(-decay * age) resampling weight
+    # additive resampling-weight floor (ref nerf_opt_planner.py:126 "+ 1e-6");
+    # re-diversifies the buffer once the field saturates. 0.0 disables.
+    buffer_weight_floor: float = 1e-6
     # losses
     collision_weight: float = 1.0
     collision_loss_koef: float = 1.0

@@ -493,7 +493,8 @@ class ConstrainedSolver:
     # ------------------------------------------------------------- run loop
 
     def run(
-        self, state: ConstrainedState, oracle_params: Any, num_steps: int
+        self, state: ConstrainedState, oracle_params: Any, num_steps: int,
+        allow_static: bool = True,
     ) -> tuple[ConstrainedState, StepAux]:
         """Scan `num_steps` steps on device; aux is stacked per step.
 
@@ -505,9 +506,13 @@ class ConstrainedSolver:
         branches select on the reparametrization, which otherwise runs the
         searchsorted/gather resample EVERY step in batched mode.
 
-        The static path assumes state.step_count % freq == 0 on entry (true
+        The static path REQUIRES state.step_count % freq == 0 on entry (true
         after init / update_* which reset it, and preserved across run calls
-        with multiple-of-freq lengths); otherwise the dynamic path is used.
+        with multiple-of-freq lengths). step_count is traced, so this cannot
+        be checked here — callers that may enter misaligned (e.g. a stateful
+        shell mixing run lengths) must pass allow_static=False to force the
+        reference-exact dynamic schedule; NFOPPlanner.step does this
+        automatically from its host-side step counter.
         """
         freq = self.config.reparametrize_trajectory_freq
 
@@ -515,7 +520,7 @@ class ConstrainedSolver:
             new_state, aux = self.step(carry, oracle_params)
             return new_state, aux
 
-        if freq <= 1 or num_steps % freq != 0:
+        if freq <= 1 or num_steps % freq != 0 or not allow_static:
             return jax.lax.scan(dyn_body, state, None, length=num_steps)
 
         state, aux = scan_chunked(

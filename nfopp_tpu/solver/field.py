@@ -111,13 +111,20 @@ def field_sample_post(
     training batch in the reference's order [coarse, buffer, random]
     (nerf_opt_planner.py:101-111).
 
-    Resampling weight is sigmoid(field) * exp(-decay * age) (:122-133) — taken
-    in log space (log-sigmoid - decay*age) so the weighted
-    sample-without-replacement is one fused add + top-k. (The reference adds
-    1e-6 to the weights; sigmoid is strictly positive so this changes nothing
-    distributionally and is dropped here.)
+    Resampling weight is sigmoid(field) * exp(-decay * age) + 1e-6 (:122-133)
+    — taken in log space (logaddexp with log 1e-6) so the weighted
+    sample-without-replacement is one fused add + top-k. The 1e-6 floor
+    matters in the saturated regime: once the field confidently predicts free
+    space everywhere (all sigmoids << 1e-6), the floor makes resampling
+    near-uniform and re-diversifies the buffer, where raw log-sigmoids would
+    keep it peaked on the least-negative logits forever. (Deviation: the
+    reference switches to replacement=True when fewer than K weights exceed
+    the floor, :130; Gumbel top-k stays without-replacement — near-uniform
+    over candidates in that regime, which only diversifies MORE.)
     """
     log_w = jax.nn.log_sigmoid(logits) - candidate_ages * config.buffer_age_decay
+    if config.buffer_weight_floor > 0:
+        log_w = jnp.logaddexp(log_w, jnp.log(config.buffer_weight_floor))
     idx = gumbel_topk_log_indices(log_w, pre.gumbel, config.collision_point_count)
     new_buffer = candidates[idx]
     new_ages = candidate_ages[idx] + 1.0

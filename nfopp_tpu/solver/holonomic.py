@@ -214,14 +214,16 @@ class HolonomicSolver:
     def _reparametrize(self, state: HolonomicState) -> HolonomicState:
         return state._replace(trajectory=reparametrize_xy(self.full_trajectory(state)))
 
-    def run(self, state, oracle_params, num_steps: int):
-        """Statically-scheduled scan when possible (see ConstrainedSolver.run)."""
+    def run(self, state, oracle_params, num_steps: int,
+            allow_static: bool = True):
+        """Statically-scheduled scan when possible (see ConstrainedSolver.run;
+        allow_static=False forces the dynamic schedule for misaligned entry)."""
         freq = self.config.reparametrize_trajectory_freq
 
         def dyn_body(carry, _):
             return self.step(carry, oracle_params)
 
-        if freq <= 1 or num_steps % freq != 0:
+        if freq <= 1 or num_steps % freq != 0 or not allow_static:
             return jax.lax.scan(dyn_body, state, None, length=num_steps)
 
         state, aux = scan_chunked(

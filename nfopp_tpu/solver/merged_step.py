@@ -106,7 +106,9 @@ def onf_forward_acts(params: dict, x: jnp.ndarray, config: ONFConfig) -> ONFActs
     hid = config.hidden
 
     xy = (x[:, :2] - config.mean) / config.sigma
-    pre_e = _mm(xy, params["encoding"]["w"], compute) + params["encoding"]["b"]
+    pre_e = _mm(xy, params["encoding"]["w"], compute)
+    if config.bias:  # bias=False: no trainable bias (models/onf.py::onf_apply)
+        pre_e = pre_e + params["encoding"]["b"]
     if config.use_cos:
         h = fourier // 2
         enc = jnp.concatenate([jnp.sin(pre_e[:, :h]), jnp.cos(pre_e[:, h:])], axis=1)
@@ -173,7 +175,9 @@ def onf_backward(
     grads = {
         "encoding": {
             "w": _mmT(acts.xy[:p], gpre_e[:p], compute),
-            "b": jnp.sum(gpre_e[:p], axis=0),
+            # matches autodiff of the gated forward: unused bias -> zero grad
+            "b": jnp.sum(gpre_e[:p], axis=0) if config.bias
+            else jnp.zeros_like(params["encoding"]["b"]),
         },
         "mlp2": {
             "w": _mmT(acts.h1[:p], gpre2[:p], compute),
