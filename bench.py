@@ -70,6 +70,13 @@ def main() -> None:
     parser.add_argument("--multi", type=int, default=0, metavar="P",
                         help="batch-explicit step with P-problems-per-program "
                              "Pallas field kernels (0 = off)")
+    parser.add_argument("--field-freq", type=int, default=1, metavar="S",
+                        help="train the occupancy field every S-th step "
+                             "(optimize_collision_model_freq, statically "
+                             "scheduled when S divides the reparam freq 10; "
+                             "the field update is ~2/3 of the step's "
+                             "dependency chain). Quality at S>1 is a "
+                             "speed/data tradeoff — check feasible_fraction")
     args = parser.parse_args()
     args.bf16 = not args.f32
 
@@ -112,6 +119,8 @@ def main() -> None:
         config = config._replace(jacobi_step=True)
     if args.merged:
         config = config._replace(merged_step=True)
+    if args.field_freq > 1:
+        config = config._replace(optimize_collision_model_freq=args.field_freq)
     if args.unroll > 1:
         config = config._replace(scan_unroll=args.unroll)
     if args.outer_unroll > 1:

@@ -269,8 +269,15 @@ class ConstrainedSolver:
     def _field_and_trajectory(
         self, state: ConstrainedState, oracle_params: Any,
         k_field: jax.Array, k_traj: jax.Array,
+        with_field: bool | None = None,
     ) -> tuple[ConstrainedState, jnp.ndarray, jnp.ndarray]:
         """Field update + trajectory update, in the configured order.
+
+        with_field: None = config-driven (reference-exact dynamic
+        `optimize_collision_model_freq` cond, nerf_opt_planner.py:62-63 —
+        executes BOTH branches under vmap); True/False = the caller took the
+        decision statically (run's chunked schedule lowers the freq to a
+        static stride when it divides reparametrize_trajectory_freq).
 
         Default (Gauss-Seidel, the reference's order nerf_opt_planner.py:60-71):
         the trajectory loss reads the field params updated THIS step, so the
@@ -302,7 +309,9 @@ class ConstrainedSolver:
             state = self._apply_field_update(state, sample, grads)
             return state._replace(prev_trajectory=prev_traj), field_loss, traj_loss
 
-        if cfg.optimize_collision_model_freq == 1:
+        if with_field is False:
+            field_loss = jnp.zeros((), jnp.float32)
+        elif with_field is True or cfg.optimize_collision_model_freq == 1:
             state, field_loss = self._field_step(state, oracle_params, k_field)
         else:
             do_field = state.step_count % cfg.optimize_collision_model_freq == 0
@@ -316,7 +325,8 @@ class ConstrainedSolver:
         return state, field_loss, traj_loss
 
     def step_static(
-        self, state: ConstrainedState, oracle_params: Any, with_reparam: bool
+        self, state: ConstrainedState, oracle_params: Any, with_reparam: bool,
+        with_field: bool | None = None,
     ) -> tuple[ConstrainedState, StepAux]:
         """Step with the reparametrization decision taken at trace time.
 
@@ -325,11 +335,14 @@ class ConstrainedSolver:
         cost); here the caller schedules reparametrization statically, as
         `run`'s chunked scan does (reference freq semantics:
         nerf_opt_planner.py:60-71 — reparametrize when step_count % freq == 0).
+        with_field statically schedules optimize_collision_model_freq the same
+        way (None keeps the dynamic cond). Three keys are split per step
+        regardless, so the trajectory RNG stream is schedule-independent.
         """
         key, k_field, k_traj = jax.random.split(state.key, 3)
         state = state._replace(key=key)
         state, field_loss, traj_loss = self._field_and_trajectory(
-            state, oracle_params, k_field, k_traj
+            state, oracle_params, k_field, k_traj, with_field
         )
         if with_reparam:
             state = self._reparametrize(state)
@@ -492,6 +505,14 @@ class ConstrainedSolver:
 
     # ------------------------------------------------------------- run loop
 
+    def _static_field_stride(self) -> int:
+        """optimize_collision_model_freq lowered to a static chunk stride when
+        it divides reparametrize_trajectory_freq; 1 otherwise (the dynamic
+        in-step cond is kept, which under vmap executes both branches)."""
+        s = self.config.optimize_collision_model_freq
+        freq = self.config.reparametrize_trajectory_freq
+        return s if s > 1 and freq % s == 0 else 1
+
     def run(
         self, state: ConstrainedState, oracle_params: Any, num_steps: int,
         allow_static: bool = True,
@@ -513,6 +534,14 @@ class ConstrainedSolver:
         shell mixing run lengths) must pass allow_static=False to force the
         reference-exact dynamic schedule; NFOPPlanner.step does this
         automatically from its host-side step counter.
+
+        optimize_collision_model_freq > 1 is ALSO lowered to a static schedule
+        here when it divides the reparametrization freq (field trains at chunk
+        positions 0, s, 2s, ...; the dynamic check `step_count % s == 0` fires
+        at exactly those positions given the entry alignment above). Under
+        vmap the dynamic cond executes the field update every step and throws
+        the result away on skipped steps — the static schedule actually skips
+        it, which is the whole point of training the field less often.
         """
         freq = self.config.reparametrize_trajectory_freq
 
@@ -523,10 +552,17 @@ class ConstrainedSolver:
         if freq <= 1 or num_steps % freq != 0 or not allow_static:
             return jax.lax.scan(dyn_body, state, None, length=num_steps)
 
+        stride = self._static_field_stride()
+        if stride > 1:
+            step_fn = lambda s, r, f: self.step_static(
+                s, oracle_params, with_reparam=r, with_field=f)
+        else:  # non-dividing freq keeps the dynamic in-step cond (None)
+            step_fn = lambda s, r, f: self.step_static(
+                s, oracle_params, with_reparam=r)
         state, aux = scan_chunked(
-            lambda s, r: self.step_static(s, oracle_params, with_reparam=r),
-            state, num_steps, freq,
+            step_fn, state, num_steps, freq,
             self.config.scan_unroll, self.config.outer_scan_unroll,
+            field_stride=stride,
         )
         aux = jax.tree_util.tree_map(
             lambda x: x.reshape((num_steps,) + x.shape[2:]), aux
@@ -589,17 +625,21 @@ class ConstrainedSolver:
         )
 
     def _step_batch(self, states, oracle_params, with_reparam: bool,
-                    problems_per_program: int):
+                    problems_per_program: int, with_field: bool = True):
         cfg = self.config
         keys = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
         states = states._replace(key=keys[:, 0])
-        if cfg.optimize_collision_model_freq != 1:
+        if cfg.optimize_collision_model_freq != 1 and self._static_field_stride() == 1:
             raise NotImplementedError(
-                "batch-explicit path requires optimize_collision_model_freq == 1"
+                "batch-explicit path requires optimize_collision_model_freq == 1 "
+                "or one that divides reparametrize_trajectory_freq"
             )
-        states, field_loss = self._field_step_batch(
-            states, oracle_params, keys[:, 1], problems_per_program
-        )
+        if with_field:
+            states, field_loss = self._field_step_batch(
+                states, oracle_params, keys[:, 1], problems_per_program
+            )
+        else:
+            field_loss = jnp.zeros((states.trajectory.shape[0],), jnp.float32)
         states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
         if with_reparam:
             states = jax.vmap(self._reparametrize)(states)
@@ -615,9 +655,11 @@ class ConstrainedSolver:
         freq = self.config.reparametrize_trajectory_freq
         _check_chunkable("run_batch", num_steps, freq)
         states, aux = scan_chunked(
-            lambda s, r: self._step_batch(s, oracle_params, r, problems_per_program),
+            lambda s, r, f: self._step_batch(s, oracle_params, r,
+                                             problems_per_program, with_field=f),
             states, num_steps, freq,
             self.config.scan_unroll, self.config.outer_scan_unroll,
+            field_stride=self._static_field_stride(),
         )
         # [chunks, freq, B] -> [B, steps] to match vmap(run)'s layout
         aux = jax.tree_util.tree_map(
@@ -665,15 +707,21 @@ class ConstrainedSolver:
         return jnp.broadcast_to(mean, grouped.shape).reshape(g.shape)
 
     def _step_grouped(self, states, oracle_params, with_reparam: bool,
-                      group_size: int):
+                      group_size: int, with_field: bool = True):
         cfg = self.config
-        if cfg.optimize_collision_model_freq != 1:
+        if cfg.optimize_collision_model_freq != 1 and (
+            self._static_field_stride() == 1 or cfg.merged_step or cfg.jacobi_step
+        ):
             raise NotImplementedError(
-                "shared-field mode requires optimize_collision_model_freq == 1"
+                "shared-field mode requires optimize_collision_model_freq == 1 "
+                "or one that divides reparametrize_trajectory_freq (plain step)"
             )
         keys = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
         states = states._replace(key=keys[:, 0])
-        if cfg.merged_step:
+        if not with_field:
+            field_loss = jnp.zeros((states.trajectory.shape[0],), jnp.float32)
+            states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
+        elif cfg.merged_step:
             # merged step (one fused ONF pass per problem), field grads
             # group-mean'd before the Adam update — same collective pattern
             # as the jacobi/default branches
@@ -727,9 +775,11 @@ class ConstrainedSolver:
                 f"group_size {group_size}"
             )
         states, aux = scan_chunked(
-            lambda s, r: self._step_grouped(s, oracle_params, r, group_size),
+            lambda s, r, f: self._step_grouped(s, oracle_params, r, group_size,
+                                               with_field=f),
             states, num_steps, freq,
             self.config.scan_unroll, self.config.outer_scan_unroll,
+            field_stride=self._static_field_stride(),
         )
         # [chunks, freq, B] -> [B, steps] to match vmap(run)'s layout
         aux = jax.tree_util.tree_map(

@@ -147,12 +147,15 @@ class HolonomicSolver:
         state = state._replace(step_count=state.step_count + 1)
         return state, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
 
-    def step_static(self, state, oracle_params, with_reparam: bool):
+    def step_static(self, state, oracle_params, with_reparam: bool,
+                    with_field: bool | None = None):
         """See ConstrainedSolver.step_static."""
         cfg = self.config
         key, k_field, k_traj = jax.random.split(state.key, 3)
         state = state._replace(key=key)
-        if cfg.optimize_collision_model_freq == 1:
+        if with_field is False:
+            field_loss = jnp.zeros((), jnp.float32)
+        elif with_field is True or cfg.optimize_collision_model_freq == 1:
             state, field_loss = self._field_step(state, oracle_params, k_field)
         else:
             do_field = state.step_count % cfg.optimize_collision_model_freq == 0
@@ -214,6 +217,12 @@ class HolonomicSolver:
     def _reparametrize(self, state: HolonomicState) -> HolonomicState:
         return state._replace(trajectory=reparametrize_xy(self.full_trajectory(state)))
 
+    def _static_field_stride(self) -> int:
+        """See ConstrainedSolver._static_field_stride."""
+        s = self.config.optimize_collision_model_freq
+        freq = self.config.reparametrize_trajectory_freq
+        return s if s > 1 and freq % s == 0 else 1
+
     def run(self, state, oracle_params, num_steps: int,
             allow_static: bool = True):
         """Statically-scheduled scan when possible (see ConstrainedSolver.run;
@@ -226,10 +235,17 @@ class HolonomicSolver:
         if freq <= 1 or num_steps % freq != 0 or not allow_static:
             return jax.lax.scan(dyn_body, state, None, length=num_steps)
 
+        stride = self._static_field_stride()
+        if stride > 1:
+            step_fn = lambda s, r, f: self.step_static(
+                s, oracle_params, with_reparam=r, with_field=f)
+        else:
+            step_fn = lambda s, r, f: self.step_static(
+                s, oracle_params, with_reparam=r)
         state, aux = scan_chunked(
-            lambda s, r: self.step_static(s, oracle_params, with_reparam=r),
-            state, num_steps, freq,
+            step_fn, state, num_steps, freq,
             self.config.scan_unroll, self.config.outer_scan_unroll,
+            field_stride=stride,
         )
         aux = jax.tree_util.tree_map(
             lambda x: x.reshape((num_steps,) + x.shape[2:]), aux
