@@ -121,6 +121,13 @@ def main() -> None:
         config = config._replace(merged_step=True)
     if args.field_freq > 1:
         config = config._replace(optimize_collision_model_freq=args.field_freq)
+        if config.reparametrize_trajectory_freq % args.field_freq != 0:
+            raise SystemExit(
+                f"--field-freq {args.field_freq} does not divide the reparam "
+                f"freq {config.reparametrize_trajectory_freq}: the batched run "
+                "keeps the dynamic in-step cond, which under vmap executes "
+                "BOTH branches — zero speedup. Pick a divisor."
+            )
     if args.unroll > 1:
         config = config._replace(scan_unroll=args.unroll)
     if args.outer_unroll > 1:

@@ -651,7 +651,15 @@ class ConstrainedSolver:
         """Batch-explicit `run`: multi-problem Pallas kernels for the field
         passes, vmap for the rest. Same statically-scheduled reparametrization
         chunking as `run`; requires num_steps % reparametrize_trajectory_freq
-        == 0 and batch % problems_per_program == 0."""
+        == 0 and batch % problems_per_program == 0.
+
+        Like `run`'s static path, the schedule REQUIRES step_count % freq == 0
+        on entry (true after init_state / update_*; preserved across calls
+        with multiple-of-freq lengths). There is no allow_static escape here —
+        stateful callers that may enter misaligned must realign (re-init) or
+        use `run(..., allow_static=False)` per problem; entering misaligned
+        silently trains the field and reparametrizes at the wrong steps.
+        """
         freq = self.config.reparametrize_trajectory_freq
         _check_chunkable("run_batch", num_steps, freq)
         states, aux = scan_chunked(
@@ -766,6 +774,12 @@ class ConstrainedSolver:
         replicas start identical; the group-averaged gradients keep them in
         lockstep. Same per-problem RNG stream as the vmapped `run`
         (group_size=1 reproduces it exactly).
+
+        Like `run`'s static path, the schedule REQUIRES step_count % freq == 0
+        on entry (true after init_state / update_*; preserved across calls
+        with multiple-of-freq lengths). There is no allow_static escape here —
+        entering misaligned silently trains the field and reparametrizes at
+        the wrong steps (see run()'s docstring for the dynamic fallback).
         """
         freq = self.config.reparametrize_trajectory_freq
         _check_chunkable("run_grouped", num_steps, freq)

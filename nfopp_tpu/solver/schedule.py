@@ -49,7 +49,7 @@ def scan_chunked(
 
     step_fn(state, with_reparam, with_field) -> (state, aux). Requires
     freq > 1 and num_steps % freq == 0 (callers fall back to a dynamic scan
-    otherwise). With field_stride s > 1 (s must divide freq; caller-checked)
+    otherwise). With field_stride s > 1 (s must divide freq, enforced below)
     the field flag is True only at chunk positions 0, s, 2s, ... Returns
     (state, aux) with aux stacked [chunks, freq, ...]; callers reshape to
     their layout. Unroll factors are clamped to valid ranges.

@@ -110,6 +110,77 @@ class TestStaticFieldStride:
         )(batch, oracles)
         assert out.trajectory.shape == (4, solver.config.trajectory_length, 3)
 
+    def test_grouped_group1_matches_vmapped_run(self):
+        """run_grouped(group_size=1) under a field stride == vmapped run —
+        numeric parity, not just shapes (advisor round-2 gap)."""
+        solver, state, oracle = _setup(2)
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (4,) + x.shape), state
+        )
+        batch = batch._replace(key=jax.random.split(jax.random.PRNGKey(9), 4))
+        oracles = jax.tree_util.tree_map(
+            lambda x: jnp.tile(x[None], (4,) + (1,) * x.ndim), oracle
+        )
+        got, got_aux = jax.jit(
+            lambda s, o: solver.run_grouped(s, o, 20, group_size=1)
+        )(batch, oracles)
+        ref, ref_aux = jax.jit(
+            jax.vmap(lambda s, o: solver.run(s, o, 20))
+        )(batch, oracles)
+        np.testing.assert_allclose(
+            np.asarray(got.trajectory), np.asarray(ref.trajectory), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_aux.field_loss), np.asarray(ref_aux.field_loss),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_run_batch_static_stride_matches_vmapped_run(self):
+        """run_batch's field-stride path vs vmapped run (advisor round-2 gap:
+        the stride path through the multi-problem kernels was untested)."""
+        solver, state, oracle = _setup(2)
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (4,) + x.shape), state
+        )
+        batch = batch._replace(key=jax.random.split(jax.random.PRNGKey(11), 4))
+        oracles = jax.tree_util.tree_map(
+            lambda x: jnp.tile(x[None], (4,) + (1,) * x.ndim), oracle
+        )
+        got, got_aux = jax.jit(
+            lambda s, o: solver.run_batch(s, o, 20, problems_per_program=2)
+        )(batch, oracles)
+        ref, ref_aux = jax.jit(
+            jax.vmap(lambda s, o: solver.run(s, o, 20))
+        )(batch, oracles)
+        np.testing.assert_allclose(
+            np.asarray(got.trajectory), np.asarray(ref.trajectory), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_aux.field_loss), np.asarray(ref_aux.field_loss),
+            rtol=1e-4, atol=1e-5,
+        )
+        assert _adam_count(
+            jax.tree_util.tree_map(lambda x: x[0], got.field_opt_state)
+        ) == 10
+
+    def test_stride_equals_freq(self):
+        """stride == freq (one field update per chunk; the inner group scan
+        has length 0) — matches dynamic, field Adam steps num_steps/freq."""
+        solver, state, oracle = _setup(10)
+        assert solver._static_field_stride() == 10
+        a, aux_s = jax.jit(lambda s, o: solver.run(s, o, 30))(state, oracle)
+        b, _ = jax.jit(
+            lambda s, o: solver.run(s, o, 30, allow_static=False)
+        )(state, oracle)
+        np.testing.assert_allclose(
+            np.asarray(a.trajectory), np.asarray(b.trajectory), atol=5e-6
+        )
+        assert _adam_count(a.field_opt_state) == 3
+        fl = np.asarray(aux_s.field_loss)
+        assert np.all(fl[[0, 10, 20]] != 0.0)
+        mask = np.ones(30, bool); mask[[0, 10, 20]] = False
+        assert np.all(fl[mask] == 0.0)
+
     def test_holonomic_static_matches_dynamic(self):
         env = two_walls_environment()
         oracle = make_circle_oracle(env)
