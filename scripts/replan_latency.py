@@ -15,6 +15,13 @@ random 0.1-0.4 s, so absolute p50/p99 numbers on this machine measure the
 tunnel, not the chip; steps-per-cycle and on-device per-step time are the
 hardware-meaningful outputs (see CLAUDE.md timing caveats). On a local TPU
 the wall percentiles are real.
+
+--device-true instead runs K replan cycles INSIDE one jitted program
+(service/session.py: scripted pose tracking + goal changes, the same
+update_start/retarget/step sequence the host service performs per cycle) and
+divides the session's device time by K — the hardware-true per-cycle latency.
+Each cycle does identical fixed-shape, data-independent work, so the on-device
+latency distribution is degenerate: the session mean IS the p50.
 """
 from __future__ import annotations
 
@@ -40,6 +47,18 @@ def main() -> int:
                              "fleet (FleetReplanningService, shared field) "
                              "instead of the single-robot service")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--device-true", action="store_true",
+                        help="run the whole session inside ONE jitted program "
+                             "(service.replan_session) and report per-cycle "
+                             "device time — tunnel-noise-free")
+    parser.add_argument("--goals", type=int, default=8,
+                        help="device-true: scripted goal changes per session")
+    parser.add_argument("--cycles-per-goal", type=int, default=250,
+                        help="device-true: replan cycles between goal changes")
+    parser.add_argument("--steps-per-cycle", type=int, default=40,
+                        help="device-true: optimization steps per cycle (must "
+                             "be a multiple of the reparam freq; 40 matches "
+                             "the tunnel-bound run's measured steps/cycle)")
     args = parser.parse_args()
 
     import jax
@@ -69,6 +88,88 @@ def main() -> int:
         jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
     )
     solver = ConstrainedSolver(run_planner_config(), rectangle_collision)
+
+    if args.device_true:
+        import time as _time
+
+        from nfopp_tpu.service import fleet_replan_session, replan_session
+
+        start = jnp.asarray(env.start, jnp.float32)
+        goal = jnp.asarray(env.goal, jnp.float32)
+        bounds = jnp.asarray(env.bounds, jnp.float32)
+        g, c, s = args.goals, args.cycles_per_goal, args.steps_per_cycle
+        total_cycles = g * c
+
+        def timed_session(run_fn, warm_args, timed_args):
+            run_fn(*warm_args)  # compile + warm (different inputs than timed)
+            # sync: block_until_ready is unreliable through the tunnel —
+            # force a scalar host fetch (CLAUDE.md timing caveats)
+            t0 = _time.perf_counter()
+            out, aux = run_fn(*timed_args)
+            float(jnp.sum(aux.path_length))
+            return _time.perf_counter() - t0
+
+        if args.fleet:
+            r = args.fleet
+            keys_a = jax.random.split(jax.random.PRNGKey(1), r)
+            keys_b = jax.random.split(jax.random.PRNGKey(2), r)
+            mk = jax.jit(jax.vmap(
+                lambda k: solver.init_state(k, start, goal, bounds, oracle)
+            ))
+            states_a, states_b = mk(keys_a), mk(keys_b)
+            oracles = jax.tree_util.tree_map(
+                lambda x: jnp.tile(x[None], (r,) + (1,) * x.ndim), oracle
+            )
+            # alternate runs of start/goal targets per robot, G rounds
+            base = jnp.stack([goal if i % 2 == 0 else start for i in range(r)])
+            goals = jnp.stack([base if j % 2 == 0 else base[::-1] for j in range(g)])
+            fn = jax.jit(lambda st, o, gl: fleet_replan_session(
+                solver, st, o, gl, c, s, group_size=r))
+            wall = timed_session(fn, (states_a, oracles, goals),
+                                 (states_b, oracles, goals))
+            per_cycle_ms = wall / total_cycles * 1e3
+            per_step_us = wall / (total_cycles * s) * 1e6
+            result = {
+                "metric": "fleet_replan_cycle_latency_device_true",
+                "robots": r,
+                "p50_ms": round(per_cycle_ms, 3),
+                "note": "one jitted session; fixed-shape cycles => mean == p50",
+                "budget_ms": args.timeout * 1e3,
+                "steps_per_cycle": s,
+                "per_step_us": round(per_step_us, 2),
+                "steps_fitting_budget": int(args.timeout / (per_step_us * 1e-6)),
+                "goal_changes": g,
+                "cycles": total_cycles,
+                "session_wall_s": round(wall, 2),
+                "robot_replans_per_s": round(r / (per_cycle_ms * 1e-3), 1),
+                "device": str(jax.devices()[0]),
+            }
+            print(json.dumps(result))
+            return 0
+
+        mk1 = jax.jit(lambda k: solver.init_state(k, start, goal, bounds, oracle))
+        state_a = mk1(jax.random.PRNGKey(1))
+        state_b = mk1(jax.random.PRNGKey(2))
+        goals = jnp.stack([goal if j % 2 == 0 else start for j in range(g)])
+        fn = jax.jit(lambda st, o, gl: replan_session(solver, st, o, gl, c, s))
+        wall = timed_session(fn, (state_a, oracle, goals), (state_b, oracle, goals))
+        per_cycle_ms = wall / total_cycles * 1e3
+        per_step_us = wall / (total_cycles * s) * 1e6
+        result = {
+            "metric": "replan_cycle_latency_device_true",
+            "p50_ms": round(per_cycle_ms, 3),
+            "note": "one jitted session; fixed-shape cycles => mean == p50",
+            "budget_ms": args.timeout * 1e3,
+            "steps_per_cycle": s,
+            "per_step_us": round(per_step_us, 2),
+            "steps_fitting_budget": int(args.timeout / (per_step_us * 1e-6)),
+            "goal_changes": g,
+            "cycles": total_cycles,
+            "session_wall_s": round(wall, 2),
+            "device": str(jax.devices()[0]),
+        }
+        print(json.dumps(result))
+        return 0
 
     if args.fleet:
         from nfopp_tpu.service import FleetReplanningService
