@@ -28,4 +28,5 @@ from .scenarios import (  # noqa: F401
     polygon_world,
     random_forest,
     random_free_pose,
+    warehouse,
 )

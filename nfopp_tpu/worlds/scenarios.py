@@ -303,6 +303,62 @@ def polygon_world(
     )
 
 
+def warehouse(
+    seed: int,
+    width: float = 120.0,
+    height: float = 80.0,
+    resolution: float = 0.5,
+) -> GridScenario:
+    """Warehouse shelving world built from polygonal obstacles — the bench-mr
+    polygon world class (the reference's only checked-in benchmark fixture:
+    'warehouse2.svg', BenchmarkAdapter.cpp:37-40,
+    test/test_benchmark/2022-01-14_17-19-42_config.json). The svg lives in a
+    non-vendored submodule, so this generates the same structure class at the
+    same scale (that config's start (7.5,-10) -> goal (116,-70) spans a
+    ~120x80 floor): parallel rack rows with randomized aisle widths, rack
+    segments split by cross-aisles, and freestanding pallet blocks — long
+    narrow corridors with junctions, rasterized through `polygon_world` (the
+    polygon path end-to-end, not a direct grid paint).
+    """
+    rng = np.random.RandomState(seed)
+    polys: list[np.ndarray] = []
+    perimeter = 6.0  # free aisle along the walls
+    rack_depth = 3.0
+
+    def rect(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float64)
+
+    y = perimeter + rng.uniform(0.0, 2.0)
+    while y + rack_depth <= height - perimeter:
+        x = perimeter
+        while x < width - perimeter - 6.0:
+            seg = rng.uniform(12.0, 26.0)
+            x1 = min(x + seg, width - perimeter)
+            if x1 - x >= 4.0:
+                polys.append(rect(x, y, x1, y + rack_depth))
+            x = x1 + rng.uniform(4.0, 7.0)  # cross-aisle gap
+        y += rack_depth + rng.uniform(4.0, 6.0)  # main aisle
+
+    # a few freestanding pallet stacks dropped in the aisles
+    shelves = list(polys)
+    for _ in range(rng.randint(3, 7)):
+        px = rng.uniform(perimeter, width - perimeter - 2.0)
+        py = rng.uniform(perimeter, height - perimeter - 2.0)
+        pallet = rect(px, py, px + rng.uniform(1.0, 2.0), py + rng.uniform(1.0, 2.0))
+        if not any(
+            (pallet[0, 0] < s[1, 0] + 2.0 and pallet[1, 0] > s[0, 0] - 2.0
+             and pallet[0, 1] < s[2, 1] + 2.0 and pallet[2, 1] > s[0, 1] - 2.0)
+            for s in shelves
+        ):
+            polys.append(pallet)
+
+    scenario = polygon_world(polys, (0.0, width, 0.0, height), resolution)
+    rng2 = np.random.RandomState(seed + 1)
+    start = random_free_pose(rng2, scenario, clearance_cells=3)
+    goal = random_free_pose(rng2, scenario, clearance_cells=3)
+    return GridScenario(scenario.blocked, resolution, scenario.origin, start, goal)
+
+
 def parse_movingai_map(text: str, resolution: float = 1.0) -> GridScenario:
     """Parse a MovingAI .map file ('type octile / height / width / map' header;
     '.', 'G', 'S' passable; '@', 'O', 'T', 'W' blocked)."""

@@ -51,6 +51,30 @@ def build_scenarios(suite: str, seeds: int, min_geodesic: float = 0.0):
     elif suite == "forest":
         scenarios = [random_forest(seed=s, size=(100, 100), obstacle_ratio=0.03)
                      for s in range(seeds)]
+    elif suite == "warehouse":
+        from nfopp_tpu.worlds import warehouse
+
+        scenarios = [warehouse(seed=s) for s in range(seeds)]
+    elif suite == "movingai":
+        # the committed city 256x256 fixture run_benchmark.py uses
+        # (reference world class: movingai_experiment.ipynb cell 4)
+        from nfopp_tpu.worlds import parse_movingai_map, parse_movingai_scen
+        from nfopp_tpu.worlds.scenarios import GridScenario
+
+        root = pathlib.Path(__file__).resolve().parent.parent
+        base = parse_movingai_map(
+            (root / "assets/movingai/city_0_256.map").read_text())
+        entries = parse_movingai_scen(
+            (root / "assets/movingai/city_0_256.map.scen").read_text())[:seeds]
+        scenarios = [
+            GridScenario(
+                base.blocked, base.resolution, base.origin,
+                np.array([e["start_x"] + 0.5, e["start_y"] + 0.5, 0.0], np.float32),
+                np.array([e["goal_x"] + 0.5, e["goal_y"] + 0.5, 0.0], np.float32),
+            )
+            for e in entries
+        ]
+        return scenarios  # endpoints come from the .scen file, no resampling
     else:
         raise ValueError(suite)
     # one canonical resampler => identical worlds across all suite scripts
@@ -71,17 +95,32 @@ def dilated_blocked(scenario) -> np.ndarray:
 # ---------------------------------------------------------------- our side
 
 
-def ours_suite_run(scenarios, iterations: int, full_budget: bool = False,
-                   restart_failed: int = 0):
+def suite_parameters(suite: str):
+    """Ours-side parameter set: the bench set, plus the measured movingai
+    256x256 overrides for the city suite (run_benchmark.py applies the same)."""
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
-    from run_benchmark import bench_parameters
+    from run_benchmark import bench_parameters, movingai_overrides
 
+    from nfopp_tpu.utils import Config
+
+    parameters = bench_parameters()
+    if suite == "movingai":
+        parameters = (
+            Config.from_dict(parameters)
+            .update(movingai_overrides())
+            .as_attribute_dict()
+        )
+    return parameters
+
+
+def ours_suite_run(scenarios, parameters, iterations: int,
+                   full_budget: bool = False, restart_failed: int = 0):
     from nfopp_tpu.bench.runner import run_grid_suite
 
     t0 = time.time()
     result = run_grid_suite(
         scenarios,
-        bench_parameters(),
+        parameters,
         footprint_radius=FOOTPRINT_RADIUS,
         max_iterations=iterations,
         min_iterations=200,
@@ -146,9 +185,26 @@ def _make_grid_checker(blocked: np.ndarray, origin, resolution, bounds):
     return GridCollisionChecker(tuple(bounds))
 
 
-def _reference_parameters():
+def _reference_parameters(suite: str = "corridor"):
     """run_benchmark.py's bench parameter set, in the reference's schema
-    (run_bench_mr.py:20-67 layout + AstarTrajectoryInitializer)."""
+    (run_bench_mr.py:20-67 layout + AstarTrajectoryInitializer). For the
+    movingai suite both sides get the same measured 256x256 overrides
+    (run_benchmark.movingai_overrides: tl=150, sigma=2.5, cw=500, cdw=300)."""
+    from pytorch_lightning.utilities import AttributeDict
+
+    p = _reference_base_parameters()
+    if suite == "movingai":
+        p.trajectory_length = 150
+        p.collision_model.sigma = 2.5
+        p.planner.collision_weight = 500
+        p.planner.constraint_deltas_weight = 300
+    if suite == "warehouse":
+        # match the generated warehouse grid resolution (0.5 world units/cell)
+        p.trajectory_initializer.resolution = 0.5
+    return p
+
+
+def _reference_base_parameters():
     from pytorch_lightning.utilities import AttributeDict
 
     return AttributeDict(
@@ -211,7 +267,8 @@ def _patch_reference_reparametrize():
     ati._nfopp_dedup_patch = True
 
 
-def reference_run(scenario, seed: int, iterations: int, evaluator):
+def reference_run(scenario, seed: int, iterations: int, evaluator,
+                  suite: str = "corridor"):
     """One reference solve with the run_bench_mr.py tracking loop; returns
     (final path [102, 3] or None on A* failure, seconds)."""
     sys.path.insert(0, REFERENCE_PATH)
@@ -230,7 +287,7 @@ def reference_run(scenario, seed: int, iterations: int, evaluator):
         scenario.bounds,
     )
     planner = PlannerFactory.make_constrained_onf_planner(
-        checker, _reference_parameters()
+        checker, _reference_parameters(suite)
     )
     t0 = time.time()
     try:
@@ -286,7 +343,8 @@ def make_evaluator(scenario):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--suite", choices=["corridor", "forest"],
+    parser.add_argument("--suite",
+                        choices=["corridor", "forest", "movingai", "warehouse"],
                         default="corridor")
     parser.add_argument("--seeds", type=int, default=10)
     parser.add_argument("--iterations", type=int, default=1000)
@@ -320,7 +378,8 @@ def main():
     evaluators = [make_evaluator(s) for s in scenarios]
 
     ours_paths, ours_time = ours_suite_run(
-        scenarios, args.iterations, args.full_budget, args.restart_failed
+        scenarios, suite_parameters(args.suite), args.iterations,
+        args.full_budget, args.restart_failed
     )
     ours_eval = [ev(p) for ev, p in zip(evaluators, ours_paths)]
     ours_feasible = np.array([not c for c, _ in ours_eval])
@@ -349,7 +408,7 @@ def main():
     ref_eval, ref_secs = [], 0.0
     for k, (scenario, ev) in enumerate(zip(scenarios, evaluators)):
         path, collision, length, secs = reference_run(
-            scenario, k, args.iterations, ev
+            scenario, k, args.iterations, ev, args.suite
         )
         ref_secs += secs
         ref_eval.append((collision, length))

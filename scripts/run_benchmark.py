@@ -28,7 +28,7 @@ def build_scenarios(args):
 
     from nfopp_tpu.worlds import (
         corridor, parse_movingai_map, parse_movingai_scen, random_forest,
-        resample_distant_endpoints,
+        resample_distant_endpoints, warehouse,
     )
     from nfopp_tpu.worlds.scenarios import GridScenario, random_free_pose
 
@@ -41,6 +41,8 @@ def build_scenarios(args):
         return far([corridor(seed=s, size=100, branches=100, radius=3) for s in range(args.seeds)])
     if args.suite == "forest":
         return far([random_forest(seed=s, size=(100, 100), obstacle_ratio=0.03) for s in range(args.seeds)])
+    if args.suite == "warehouse":
+        return far([warehouse(seed=s) for s in range(args.seeds)])
     if args.suite == "movingai":
         base = parse_movingai_map(pathlib.Path(args.map).read_text())
         scenarios = []
@@ -110,7 +112,7 @@ def movingai_overrides():
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--suite", choices=["corridor", "forest", "movingai"], default="corridor")
+    parser.add_argument("--suite", choices=["corridor", "forest", "movingai", "warehouse"], default="corridor")
     parser.add_argument("--seeds", type=int, default=10)
     parser.add_argument("--map", help="MovingAI .map file (suite=movingai)")
     parser.add_argument("--scen", help="MovingAI .scen file (optional)")

@@ -148,3 +148,29 @@ def test_distant_endpoints_meets_min_geodesic():
     assert dist[si, sj] * sc.resolution >= 120.0
     sc2 = with_endpoints(sc, start, goal)
     assert np.allclose(sc2.start, start) and sc2.blocked is sc.blocked
+
+
+def test_warehouse_structure_and_connectivity():
+    from nfopp_tpu.astar.wavefront import distance_field
+    from nfopp_tpu.worlds import warehouse
+
+    sc = warehouse(seed=0)
+    assert sc.blocked.shape == (160, 240)  # 120x80 world at 0.5 res
+    free = 1 - sc.blocked.mean()
+    assert 0.55 < free < 0.92  # racks present, aisles dominate
+    # deterministic per seed
+    sc2 = warehouse(seed=0)
+    np.testing.assert_array_equal(sc.blocked, sc2.blocked)
+    np.testing.assert_allclose(sc.start, sc2.start)
+    assert not np.array_equal(sc.blocked, warehouse(seed=1).blocked)
+    # start and goal are connected on the footprint-dilated grid (r=1.0 -> 2 cells)
+    blocked = dilate(sc.blocked, 2)
+    gi = int((sc.goal[1] - sc.origin[1]) // sc.resolution)
+    gj = int((sc.goal[0] - sc.origin[0]) // sc.resolution)
+    si = int((sc.start[1] - sc.origin[1]) // sc.resolution)
+    sj = int((sc.start[0] - sc.origin[0]) // sc.resolution)
+    assert not blocked[si, sj] and not blocked[gi, gj]
+    dist = np.asarray(distance_field(jnp.asarray(blocked), jnp.asarray([gi, gj])))
+    assert np.isfinite(dist[si, sj])
+    # rack rows exist: some full-width horizontal stretch of blocked cells
+    assert (sc.blocked.sum(axis=1) > 100).any()
