@@ -56,6 +56,9 @@ def run_grid_suite(
     astar_init: bool = True,
     stop_on_plateau: bool = True,
     restart_failed: int = 0,
+    checkpoint_path=None,
+    checkpoint_every_chunks: int = 4,
+    resume: bool = False,
 ) -> SuiteResult:
     """Solve every scenario in one batch; scenarios must share grid shape.
 
@@ -72,6 +75,14 @@ def run_grid_suite(
     and keeps the shortest feasible restart — the portfolio fallback for
     chaotic problems (the NFOPP objective is seed-dependent; restarts ride the
     same batch machinery, so the retry costs one extra batched solve).
+
+    checkpoint_path enables elastic mid-suite recovery (the §5 row the
+    reference lacks): the tracked solve checkpoints its carry every
+    `checkpoint_every_chunks` chunks (BatchPlanner.solve_checkpointed); the
+    retry phase uses a sibling '<name>-retry.npz' file. resume=True picks up
+    from the newest checkpoint — everything up to the solve (world build,
+    init, wavefront) is deterministic, so a killed-and-resumed suite is
+    bit-identical to an uninterrupted checkpointed one.
     """
     if parameters is None:
         parameters = DEFAULT_PARAMETERS
@@ -112,11 +123,19 @@ def run_grid_suite(
     states = planner.init_batch(
         jax.random.PRNGKey(seed), starts, goals, bounds, oracles, trajectories
     )
-    result = planner.solve(
-        states, oracles, max_iterations=max_iterations,
-        min_iterations=min_iterations, check_freq=check_freq,
-        stop_on_plateau=stop_on_plateau,
-    )
+    if checkpoint_path is not None:
+        result = planner.solve_checkpointed(
+            states, oracles, checkpoint_path, max_iterations=max_iterations,
+            min_iterations=min_iterations, check_freq=check_freq,
+            stop_on_plateau=stop_on_plateau,
+            checkpoint_every_chunks=checkpoint_every_chunks, resume=resume,
+        )
+    else:
+        result = planner.solve(
+            states, oracles, max_iterations=max_iterations,
+            min_iterations=min_iterations, check_freq=check_freq,
+            stop_on_plateau=stop_on_plateau,
+        )
     paths = np.asarray(jax.block_until_ready(result.path)).copy()
     feasible = np.asarray(result.feasible).copy()
     lengths = np.asarray(result.length).copy()
@@ -140,11 +159,24 @@ def run_grid_suite(
             oracles_f,
             None if trajectories is None else rep(trajectories),
         )
-        retry = planner.solve(
-            states_f, oracles_f, max_iterations=max_iterations,
-            min_iterations=min_iterations, check_freq=check_freq,
-            stop_on_plateau=stop_on_plateau,
-        )
+        if checkpoint_path is not None:
+            import pathlib
+
+            cp = pathlib.Path(checkpoint_path)
+            retry_path = cp.with_name(cp.name.replace(".npz", "") + "-retry.npz")
+            retry = planner.solve_checkpointed(
+                states_f, oracles_f, retry_path,
+                max_iterations=max_iterations,
+                min_iterations=min_iterations, check_freq=check_freq,
+                stop_on_plateau=stop_on_plateau,
+                checkpoint_every_chunks=checkpoint_every_chunks, resume=resume,
+            )
+        else:
+            retry = planner.solve(
+                states_f, oracles_f, max_iterations=max_iterations,
+                min_iterations=min_iterations, check_freq=check_freq,
+                stop_on_plateau=stop_on_plateau,
+            )
         r_paths = np.asarray(retry.path)[:total].reshape(len(failed), r, *paths.shape[1:])
         r_feas = np.asarray(retry.feasible)[:total].reshape(len(failed), r)
         r_len = np.asarray(retry.length)[:total].reshape(len(failed), r)

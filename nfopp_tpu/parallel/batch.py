@@ -15,7 +15,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from ..solver.tracking import TrackingResult, evaluate_path, run_with_tracking
+from ..solver.tracking import (
+    TrackingResult,
+    evaluate_path,
+    run_tracking_segment,
+    run_with_tracking,
+    tracking_finalize,
+    tracking_init,
+)
 from .mesh import batch_sharding, problem_mesh, shard_batch
 
 __all__ = ["BatchPlanner"]
@@ -83,6 +90,27 @@ class BatchPlanner:
         )
         self._eval_paths = jax.jit(
             jax.vmap(lambda o, p: evaluate_path(solver.oracle_fn, o, p))
+        )
+        self._track_init = jax.jit(
+            jax.vmap(partial(tracking_init, solver)),
+            out_shardings=self._sharding,
+        )
+        # end_chunk (arg 2) stays dynamic: every segment reuses ONE compiled
+        # program regardless of its chunk range
+        self._track_segment = jax.jit(
+            jax.vmap(
+                partial(run_tracking_segment, solver),
+                in_axes=(0, 0, None, None, None, None, None),
+            ),
+            static_argnums=(3, 4, 5, 6),
+            out_shardings=self._sharding,
+        )
+        self._track_finalize = jax.jit(
+            jax.vmap(
+                partial(tracking_finalize, solver), in_axes=(0, 0, None, None)
+            ),
+            static_argnums=(2, 3),
+            out_shardings=self._sharding,
         )
 
     def init_batch(
@@ -187,6 +215,61 @@ class BatchPlanner:
     def paths(self, states: Any) -> jnp.ndarray:
         """[B, N+2, d] full trajectories with pinned endpoints."""
         return jax.vmap(self.solver.full_trajectory)(states)
+
+    def solve_checkpointed(
+        self,
+        states: Any,
+        oracle_params: Any,
+        checkpoint_path,
+        max_iterations: int = 1000,
+        min_iterations: int = 200,
+        check_freq: int = 50,
+        samples_per_segment: int = 5,
+        stop_on_plateau: bool = True,
+        checkpoint_every_chunks: int = 4,
+        resume: bool = False,
+    ) -> TrackingResult:
+        """`solve` with elastic mid-solve checkpointing — the §5 recovery row
+        the reference never had (SURVEY.md §5: checkpoint/resume: none).
+
+        The tracked solve runs as segments of `checkpoint_every_chunks`
+        chunks; after each segment the TrackingCarry (solver states + best-
+        path bookkeeping + chunk cursor) is serialized to `checkpoint_path`
+        (atomic rename). With resume=True an existing checkpoint is loaded
+        and the remaining segments run — a resumed run re-executes the exact
+        segment programs an uninterrupted run would, so results are
+        bit-identical (tests/test_checkpoint_resume.py). The file is NOT
+        deleted on completion (the final save marks all chunks done, making a
+        re-resume a no-op finalize); callers own cleanup.
+        """
+        import pathlib
+
+        from ..solver.checkpoint import restore_state, save_state
+
+        checkpoint_path = pathlib.Path(checkpoint_path)
+        if checkpoint_path.suffix != ".npz":
+            # np.savez appends .npz itself; keep names predictable
+            checkpoint_path = checkpoint_path.with_suffix(
+                checkpoint_path.suffix + ".npz"
+            )
+        num_chunks = -(-max_iterations // check_freq)
+        carry = self._track_init(states)
+        if resume and checkpoint_path.exists():
+            carry = restore_state(carry, checkpoint_path)
+            carry = jax.device_put(carry, self._sharding)
+        start_chunk = int(np.max(np.asarray(carry.chunk)))
+        for end in range(start_chunk, num_chunks, checkpoint_every_chunks):
+            end_chunk = min(end + checkpoint_every_chunks, num_chunks)
+            carry = self._track_segment(
+                carry, oracle_params, jnp.int32(end_chunk), min_iterations,
+                check_freq, samples_per_segment, stop_on_plateau,
+            )
+            tmp = checkpoint_path.with_name("tmp-" + checkpoint_path.name)
+            save_state(jax.device_get(carry), tmp)
+            tmp.replace(checkpoint_path)
+        return self._track_finalize(
+            carry, oracle_params, samples_per_segment, stop_on_plateau
+        )
 
     def solve_grouped_tracked(
         self,

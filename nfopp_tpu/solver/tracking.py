@@ -23,7 +23,15 @@ import jax.numpy as jnp
 
 from ..ops.math import wrap_angle
 
-__all__ = ["TrackingResult", "evaluate_path", "run_with_tracking"]
+__all__ = [
+    "TrackingCarry",
+    "TrackingResult",
+    "evaluate_path",
+    "run_with_tracking",
+    "run_tracking_segment",
+    "tracking_finalize",
+    "tracking_init",
+]
 
 
 class TrackingResult(NamedTuple):
@@ -32,6 +40,20 @@ class TrackingResult(NamedTuple):
     length: jnp.ndarray  # xy length of `path`
     feasible: jnp.ndarray  # bool: `path` is collision-free
     iterations: jnp.ndarray  # int32: solver steps actually taken
+
+
+class TrackingCarry(NamedTuple):
+    """Mid-solve tracking state — the checkpointable unit of a benchmark
+    solve. `run_with_tracking` = tracking_init -> run_tracking_segment(all
+    chunks) -> tracking_finalize; resumable solves run the segments one at a
+    time and serialize the carry between them (solver/checkpoint.py)."""
+
+    state: Any  # solver state
+    best_path: jnp.ndarray
+    best_length: jnp.ndarray
+    done: jnp.ndarray
+    iterations: jnp.ndarray
+    chunk: jnp.ndarray  # int32: chunks completed so far
 
 
 def _dense_path(full_path: jnp.ndarray, samples_per_segment: int) -> jnp.ndarray:
@@ -86,7 +108,41 @@ def run_with_tracking(
     suite at identical iteration budget (BASELINE_MEASURED.md).
     """
     num_chunks = -(-max_iterations // check_freq)
-    path0 = solver.full_trajectory(state)
+    carry = tracking_init(solver, state)
+    carry = run_tracking_segment(
+        solver, carry, oracle_params, num_chunks, min_iterations, check_freq,
+        samples_per_segment, stop_on_plateau,
+    )
+    return tracking_finalize(solver, carry, oracle_params, samples_per_segment,
+                             stop_on_plateau)
+
+
+def tracking_init(solver, state: Any) -> TrackingCarry:
+    """Fresh carry at chunk 0 (pre-solve)."""
+    return TrackingCarry(
+        state=state,
+        best_path=solver.full_trajectory(state),
+        best_length=jnp.asarray(jnp.inf, jnp.float32),
+        done=jnp.asarray(False),
+        iterations=jnp.zeros((), jnp.int32),
+        chunk=jnp.zeros((), jnp.int32),
+    )
+
+
+def run_tracking_segment(
+    solver,
+    carry: TrackingCarry,
+    oracle_params: Any,
+    end_chunk: int,
+    min_iterations: int = 200,
+    check_freq: int = 50,
+    samples_per_segment: int = 5,
+    stop_on_plateau: bool = True,
+) -> TrackingCarry:
+    """Advance the tracked solve until `end_chunk` chunks are complete (or the
+    problem early-stops). Chaining segments is numerically identical to one
+    segment covering the whole range — the while_loop body is the same
+    program either way."""
 
     def chunk_body(carry):
         state, best_path, best_length, done, iterations, chunk = carry
@@ -110,24 +166,27 @@ def run_with_tracking(
         # Reference semantics: first feasible-but-not-improving check -> stop.
         if stop_on_plateau:
             done = done | (feasible & ~improves)
-        return new_state, best_path, best_length, done, iterations, chunk + 1
+        return TrackingCarry(
+            new_state, best_path, best_length, done, iterations, chunk + 1
+        )
 
     def cond(carry):
-        *_, done, _, chunk = carry
-        return (~done) & (chunk < num_chunks)
+        return (~carry.done) & (carry.chunk < end_chunk)
 
-    init = (
-        state,
-        path0,
-        jnp.asarray(jnp.inf, jnp.float32),
-        jnp.asarray(False),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.int32),
-    )
-    state, best_path, best_length, done, iterations, _ = jax.lax.while_loop(
-        cond, chunk_body, init
-    )
+    return jax.lax.while_loop(cond, chunk_body, carry)
 
+
+def tracking_finalize(
+    solver,
+    carry: TrackingCarry,
+    oracle_params: Any,
+    samples_per_segment: int = 5,
+    stop_on_plateau: bool = True,
+) -> TrackingResult:
+    """Final-path selection (run_bench_mr.py:128-133 semantics)."""
+    state, best_path, best_length, iterations = (
+        carry.state, carry.best_path, carry.best_length, carry.iterations
+    )
     final_path = solver.full_trajectory(state)
     final_collides, final_length = evaluate_path(
         solver.oracle_fn, oracle_params, final_path, samples_per_segment

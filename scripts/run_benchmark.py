@@ -129,6 +129,14 @@ def main():
                         help="re-solve infeasible problems as R fresh restarts "
                         "(one extra batched solve), keep the best feasible")
     parser.add_argument("--nfomp", help="JSON file/string with parameter overrides")
+    parser.add_argument("--checkpoint", metavar="PATH",
+                        help="checkpoint the solve every --checkpoint-every "
+                        "tracking chunks to PATH (elastic recovery; the retry "
+                        "phase uses PATH-retry)")
+    parser.add_argument("--checkpoint-every", type=int, default=4,
+                        help="tracking chunks between checkpoint saves")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from --checkpoint if it exists")
     parser.add_argument("--out", default="/tmp/nfopp_results.json")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -169,6 +177,9 @@ def main():
         min_iterations=args.min_iterations,
         stop_on_plateau=not args.full_budget,
         restart_failed=args.restart_failed,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every_chunks=args.checkpoint_every,
+        resume=args.resume,
     )
 
     feasible = result.feasible
