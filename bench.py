@@ -77,6 +77,31 @@ def main() -> None:
                              "the field update is ~2/3 of the step's "
                              "dependency chain). Quality at S>1 is a "
                              "speed/data tradeoff — check feasible_fraction")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="PRNGKey base for the per-problem streams")
+    parser.add_argument("--no-adaptive-start", action="store_true",
+                        help="always compile the full outer-unroll program "
+                             "up front (old behavior: ~138 s on a fresh "
+                             "cache). Default: probe-compile the outer-1 "
+                             "variant first (fresh ~32 s) and fall back to it "
+                             "(+0.8%% step cost) when the cache is cold, "
+                             "warming the full program for the NEXT run")
+    parser.add_argument("--cold-compile-threshold", type=float, default=20.0,
+                        help="probe compile seconds above which the cache is "
+                             "treated as cold")
+    parser.add_argument("--full-compile-wait", type=float, default=75.0,
+                        help="max seconds to wait for the full-unroll compile "
+                             "when the probe was warm before falling back")
+    parser.add_argument("--feas-sweep", type=int, default=0, metavar="N",
+                        help="after the timed run, re-run the full budget at N "
+                             "extra seed bases (reusing the compiled "
+                             "executable) and report the feasible-fraction "
+                             "distribution — pins the expected floor")
+    parser.add_argument("--feasibility-floor", type=float, default=0.98,
+                        help="fail the bench if the default-config feasible "
+                             "fraction lands below this (regression guard; "
+                             "measured seed-sweep min is 0.988, see "
+                             "BASELINE_MEASURED.md). 0 disables.")
     args = parser.parse_args()
     args.bf16 = not args.f32
 
@@ -113,12 +138,6 @@ def main() -> None:
     config = run_planner_config()
     if args.bf16:
         config = config._replace(onf=config.onf._replace(compute_dtype="bfloat16"))
-    if args.fused:
-        config = config._replace(use_fused_field_grad=True)
-    if args.jacobi:
-        config = config._replace(jacobi_step=True)
-    if args.merged:
-        config = config._replace(merged_step=True)
     if args.field_freq > 1:
         config = config._replace(optimize_collision_model_freq=args.field_freq)
         if config.reparametrize_trajectory_freq % args.field_freq != 0:
@@ -132,10 +151,20 @@ def main() -> None:
         config = config._replace(scan_unroll=args.unroll)
     if args.outer_unroll > 1:
         config = config._replace(outer_scan_unroll=args.outer_unroll)
-    solver = ConstrainedSolver(config, rectangle_collision)
+    if args.fused or args.jacobi or args.merged or args.multi:
+        # TPU-falsified variants, kept re-measurable (BASELINE_MEASURED.md)
+        from nfopp_tpu.experimental import ExperimentalConstrainedSolver
+
+        solver = ExperimentalConstrainedSolver(
+            config, rectangle_collision,
+            jacobi_step=args.jacobi, merged_step=args.merged,
+            use_fused_field_grad=args.fused,
+        )
+    else:
+        solver = ConstrainedSolver(config, rectangle_collision)
 
     batch = args.batch
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), batch)
     starts = jnp.tile(jnp.asarray(env.start)[None], (batch, 1))
     goals = jnp.tile(jnp.asarray(env.goal)[None], (batch, 1))
     bounds = jnp.tile(jnp.asarray(env.bounds, jnp.float32)[None], (batch, 1))
@@ -149,10 +178,68 @@ def main() -> None:
     log(f"init: {time.time() - t0:.1f}s")
 
     chunk = args.timed_steps
+
+    def make_run(slv):
+        return jax.jit(
+            lambda s, o: jax.vmap(slv.run, in_axes=(0, 0, None))(s, o, chunk)
+        )
+
+    adaptive = (
+        not args.no_adaptive_start
+        and not args.multi
+        and not (args.fused or args.jacobi or args.merged)
+        and args.outer_unroll > 1
+    )
     if args.multi:
         run = jax.jit(lambda s, o: solver.run_batch(s, o, chunk, args.multi))
+    elif not adaptive:
+        run = make_run(solver)
     else:
-        run = jax.jit(lambda s, o: jax.vmap(solver.run, in_axes=(0, 0, None))(s, o, chunk))
+        # Adaptive start: the outer-unroll-2 default costs ~138 s on a FRESH
+        # compile (erratic remote compile service) but only +0.8 % step time
+        # is lost at outer-unroll 1 (fresh ~32 s). Probe-compile the cheap
+        # variant; if that was already slow the cache is cold — run the
+        # bench on it now and let the full program warm on a later run.
+        solver_fast = ConstrainedSolver(
+            config._replace(outer_scan_unroll=1), rectangle_collision
+        )
+        run_fast = make_run(solver_fast)
+        t0 = time.time()
+        run = run_fast.lower(states, oracles).compile()
+        probe_s = time.time() - t0
+        log(f"probe compile (outer-unroll 1): {probe_s:.1f}s")
+        if probe_s > args.cold_compile_threshold:
+            log("cold cache: running at outer-unroll 1 (+0.8% step cost, "
+                "BASELINE_MEASURED.md); rerun when warm for the full number")
+            solver = solver_fast
+        else:
+            import threading
+
+            box: dict = {}
+
+            def _compile_full():
+                try:
+                    t = time.time()
+                    box["compiled"] = make_run(solver).lower(
+                        states, oracles
+                    ).compile()
+                    box["secs"] = time.time() - t
+                except Exception as exc:  # pragma: no cover
+                    box["err"] = exc
+
+            th = threading.Thread(target=_compile_full)
+            th.start()
+            th.join(args.full_compile_wait)
+            if "compiled" in box:
+                log(f"full compile (outer-unroll {args.outer_unroll}): "
+                    f"{box['secs']:.1f}s")
+                run = box["compiled"]
+            else:
+                log(f"full-unroll compile still running after "
+                    f"{args.full_compile_wait:.0f}s — benching at "
+                    "outer-unroll 1; the background compile caches the full "
+                    "program for the next run (process exits when it's done)")
+                solver = solver_fast
 
     t0 = time.time()
     warm, _ = run(states, oracles)
@@ -189,6 +276,23 @@ def main() -> None:
     log(f"feasible fraction after {steps_done} steps: {feasible_frac:.3f}, "
         f"mean length {float(np.asarray(length).mean()):.3f}")
 
+    if args.feas_sweep:
+        # Same compiled init/run/eval executables, fresh RNG streams: the
+        # spread here is pure seed chaos (the 1.000 -> 0.996 drift seen
+        # between BENCH_r01 and BENCH_r02 at identical config).
+        fracs = [feasible_frac]
+        for extra in range(1, args.feas_sweep + 1):
+            ks = jax.random.split(jax.random.PRNGKey(args.seed + extra), batch)
+            st = init(ks, starts, goals, bounds)
+            for _ in range(n_chunks):
+                st, _ = run(st, oracles)
+            c, _ = eval_fn(st, oracles)
+            fracs.append(float(1.0 - np.asarray(c).mean()))
+            log(f"feas sweep seed {args.seed + extra}: {fracs[-1]:.4f}")
+        fr = np.asarray(fracs)
+        log(f"feasible fraction over {len(fr)} seed bases: "
+            f"min {fr.min():.4f} mean {fr.mean():.4f} max {fr.max():.4f}")
+
     # p50 replan latency: one solver step on the whole batch (anytime mode)
     step1 = jax.jit(lambda s, o: jax.vmap(solver.run, in_axes=(0, 0, None))(s, o, 1))
     jax.block_until_ready(step1(s, oracles))  # compile
@@ -213,6 +317,17 @@ def main() -> None:
         "p50_batched_step_ms": round(p50_ms, 3),
         "device": str(device),
     }
+    default_config = not (args.fused or args.jacobi or args.merged or args.multi
+                          or args.field_freq > 1 or args.f32)
+    if args.feasibility_floor > 0 and default_config:
+        result["feasibility_floor"] = args.feasibility_floor
+        if feasible_frac < args.feasibility_floor:
+            result["feasibility_regression"] = True
+            print(json.dumps(result), flush=True)
+            raise SystemExit(
+                f"feasible fraction {feasible_frac:.3f} below floor "
+                f"{args.feasibility_floor} — quality regression"
+            )
     print(json.dumps(result), flush=True)
 
 

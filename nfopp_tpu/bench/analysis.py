@@ -26,6 +26,7 @@ __all__ = [
     "format_stats_table",
     "plot_planner_stats",
     "plot_trajectories",
+    "plot_sweep",
     "PLANNER_COLORS",
 ]
 
@@ -267,6 +268,71 @@ def plot_trajectories(document: dict, out: str | pathlib.Path,
         ax.set_title(f"run {idx}", fontsize=9)
         ax.set_aspect("equal")
         ax.tick_params(labelsize=6)
+    fig.tight_layout()
+    out = pathlib.Path(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def plot_sweep(rows: list[dict], out: str | pathlib.Path,
+               title: str | None = None) -> pathlib.Path:
+    """Hyperparameter-sweep panel: sigma x collision_weight heatmaps of
+    feasibility and mean feasible path length (the run_bench_mr_configured.py
+    usage mode, scripts/run_sweep.py output schema).
+
+    Two single-hue sequential heatmaps (magnitude encoding), every cell
+    direct-labeled with ink switched on cell luminance.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sigmas = sorted({r["sigma"] for r in rows})
+    weights = sorted({r["collision_weight"] for r in rows})
+    feas = np.full((len(sigmas), len(weights)), np.nan)
+    length = np.full((len(sigmas), len(weights)), np.nan)
+    total = max((r.get("total", 0) for r in rows), default=0)
+    for r in rows:
+        i = sigmas.index(r["sigma"])
+        j = weights.index(r["collision_weight"])
+        feas[i, j] = r["feasible"] / max(r.get("total", 1), 1)
+        length[i, j] = r.get("mean_feasible_length", np.nan)
+
+    fig, axes = plt.subplots(1, 2, figsize=(8.2, 3.6))
+    panels = [
+        (axes[0], feas, f"feasible fraction (of {total} seeds)", "Blues",
+         "{:.2f}", 0.0, 1.0),
+        (axes[1], length, "mean feasible path length", "Oranges",
+         "{:.2f}", None, None),
+    ]
+    for ax, grid, label, cmap, fmt, vmin, vmax in panels:
+        im = ax.imshow(grid, cmap=cmap, vmin=vmin, vmax=vmax, aspect="auto")
+        ax.set_xticks(range(len(weights)))
+        ax.set_xticklabels([f"{w:g}" for w in weights], fontsize=8)
+        ax.set_yticks(range(len(sigmas)))
+        ax.set_yticklabels([f"{s:g}" for s in sigmas], fontsize=8)
+        ax.set_xlabel("collision_weight", fontsize=9)
+        ax.set_ylabel("sigma", fontsize=9)
+        ax.set_title(label, fontsize=10)
+        norm = im.norm
+        for i in range(len(sigmas)):
+            for j in range(len(weights)):
+                v = grid[i, j]
+                if np.isnan(v):
+                    continue
+                # switch ink on cell luminance so labels stay readable
+                r_, g_, b_, _ = im.cmap(norm(v))
+                lum = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+                ax.text(j, i, fmt.format(v), ha="center", va="center",
+                        fontsize=9,
+                        color="#1a1a1a" if lum > 0.6 else "#ffffff")
+        for spine in ax.spines.values():
+            spine.set_visible(False)
+    if title:
+        fig.suptitle(title, fontsize=11)
     fig.tight_layout()
     out = pathlib.Path(out)
     out.parent.mkdir(parents=True, exist_ok=True)

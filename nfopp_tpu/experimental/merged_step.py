@@ -50,7 +50,7 @@ from ..ops.losses import (
 )
 from ..ops.math import wrap_angle
 from ..ops.sampling import gumbel_topk_log_indices
-from .field import field_sample_pre
+from ..solver.field import field_sample_pre
 
 __all__ = [
     "ONFActs",

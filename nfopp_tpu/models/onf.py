@@ -11,7 +11,7 @@ F = 200 when use_cos else 100; H = 10 (angle harmonics). ~33k parameters.
 
 Parameters live in a flat dict pytree so the model vmaps over a problem batch
 (each planning problem trains its own field) and feeds the Pallas fused kernel
-(`nfopp_tpu.ops.pallas`) without framework overhead. Initialization matches
+(`nfopp_tpu.experimental.pallas`) without framework overhead. Initialization matches
 torch.nn.Linear defaults (U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weights+biases)
 with the optional N(0, 1) encoding-layer init (`use_normal_init`,
 onf_model.py:30-31) and U(-pi, pi) angle-encoder biases (angle_encoder.py:14).

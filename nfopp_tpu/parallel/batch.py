@@ -18,6 +18,7 @@ from jax.sharding import Mesh
 from ..solver.tracking import (
     TrackingResult,
     evaluate_path,
+    run_grouped_with_tracking,
     run_tracking_segment,
     run_with_tracking,
     tracking_finalize,
@@ -75,9 +76,15 @@ class BatchPlanner:
             out_shardings=self._sharding,
         )
         self._run_grouped = None
+        self._track_grouped = None
         if hasattr(solver, "run_grouped"):
             self._run_grouped = jax.jit(
                 solver.run_grouped, static_argnums=(2, 3),
+                out_shardings=self._sharding,
+            )
+            self._track_grouped = jax.jit(
+                partial(run_grouped_with_tracking, solver),
+                static_argnums=(2, 3, 4, 5, 6),
                 out_shardings=self._sharding,
             )
         self._track = jax.jit(
@@ -283,10 +290,13 @@ class BatchPlanner:
         """Shared-field solve with best-path tracking.
 
         run_grouped has no per-problem early stop (the shared field must keep
-        stepping for the whole group), so tracking runs as a host-side chunk
-        loop — the reference's own run_bench_mr.py:111-134 shape: advance
-        check_freq steps, evaluate every path past min_iterations, keep the
-        shortest feasible one per problem, full budget always spent.
+        stepping for the whole group), so the full budget always runs —
+        the reference's run_bench_mr.py:111-134 shape: advance check_freq
+        steps, evaluate every path past min_iterations, keep the shortest
+        feasible one per problem. Device-side since round 3: one jitted
+        lax.scan over chunks (solver/tracking.py::run_grouped_with_tracking)
+        replaces the former host chunk loop and its ~max_iterations/check_freq
+        tunnel dispatches of random 0.1-0.4 s latency each.
 
         (Measured caveat: on the chaotic two-walls scene this tracking does
         NOT rescue shared-field portfolios — restarts sharing one field share
@@ -294,45 +304,11 @@ class BatchPlanner:
         artifacts/two_walls_reliability.json. Independent fields are the
         diversity mechanism; shared fields are for fleets on one map.)
         """
-        num_chunks = -(-max_iterations // check_freq)
-        best_path = np.array(self.paths(states))  # writable copy
-        batch = best_path.shape[0]
-        best_length = np.full(batch, np.inf)
-        best_feasible = np.zeros(batch, bool)
-        iterations = np.zeros(batch, np.int32)
-        path = np.asarray(best_path)
-        length = np.full(batch, np.nan)
-        feasible = np.zeros(batch, bool)
-        for c in range(num_chunks):
-            states, _ = self.run_grouped(
-                states, oracle_params, check_freq, group_size
-            )
-            done = (c + 1) * check_freq
-            path = self.paths(states)
-            collides, length = self._eval_paths(oracle_params, path)
-            feasible = ~np.asarray(collides)
-            length = np.asarray(length)
-            path = np.asarray(path)
-            # reference check window: i > min_iterations (run_bench_mr.py:119)
-            better = (done > min_iterations) & feasible & (length < best_length)
-            best_path[better] = path[better]
-            best_length[better] = length[better]
-            best_feasible |= better
-            iterations[better] = done
-        # the last chunk's path/length ARE the final ones — no re-evaluation;
-        # a final-iterate feasibility counts even without a tracked best
-        # (run_with_tracking: feasible = ~final_collides | has_best)
-        no_best = ~best_feasible
-        best_path[no_best] = path[no_best]
-        best_length[no_best] = length[no_best]
-        iterations[no_best] = num_chunks * check_freq
-        feasible_out = best_feasible | (no_best & feasible)
-        return TrackingResult(
-            state=states,
-            path=jnp.asarray(best_path),
-            length=jnp.asarray(best_length, jnp.float32),
-            feasible=jnp.asarray(feasible_out),
-            iterations=jnp.asarray(iterations),
+        if self._track_grouped is None:
+            raise NotImplementedError("solver has no shared-field mode")
+        return self._track_grouped(
+            states, oracle_params, group_size, max_iterations, min_iterations,
+            check_freq, 5,
         )
 
     def solve_multi_query(

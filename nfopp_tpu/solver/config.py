@@ -60,24 +60,11 @@ class SolverConfig(NamedTuple):
     optimize_collision_model_freq: int = 1
     # trajectory init
     init_angles_with_trajectory: bool = False
-    # implementation switches (numerics-preserving)
-    use_fused_field_grad: bool = False  # Pallas fused fwd+bwd field kernel
-    # Jacobi-style step: the trajectory update reads the field params from
-    # BEFORE this step's field update (the reference's Gauss-Seidel order,
-    # nerf_opt_planner.py:60-71, reads the just-updated field). With the
-    # coupling cut, the field and trajectory sub-updates are independent
-    # inside the fused scan body, so XLA overlaps their dependency chains —
-    # the step is chain-bound, not FLOP-bound, on TPU. One-update-stale
-    # field; convergence/feasibility measured unchanged (see
-    # BASELINE_MEASURED.md).
-    jacobi_step: bool = False
-    # Merged step: the Jacobi ordering taken to its conclusion — candidate
-    # scoring, BCE field training, and the trajectory collision terms all read
-    # the entry field params, so they run as ONE ONF forward + ONE hand-written
-    # backward chain (solver/merged_step.py) instead of 3 forwards + 2
-    # autodiff backwards. Halves the sequential small-op count of the
-    # chain-bound step. Numerics match jacobi_step up to f32 reassociation.
-    merged_step: bool = False
+    # Measured-slower structural variants (fused Pallas field kernels, Jacobi
+    # step order, merged fwd+bwd step, multi-problem kernels) live in
+    # nfopp_tpu.experimental.ExperimentalConstrainedSolver, NOT here — every
+    # one was TPU-falsified (BASELINE_MEASURED.md); the production step path
+    # is branch-free.
     # lax.scan unroll factor for the plain-step inner loop in `run` (the
     # freq-1 steps between reparametrizations). >1 replicates the step body
     # in the compiled loop, amortizing per-iteration while-loop overhead at

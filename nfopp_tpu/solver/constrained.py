@@ -96,6 +96,10 @@ class ConstrainedSolver:
     argument so a batch of problems can carry per-problem worlds.
     """
 
+    # experimental hooks (see nfopp_tpu.experimental): trace-time overrides
+    # for the TPU-falsified structural variants; always None/off here
+    _collision_terms = None
+
     def __init__(self, config: SolverConfig, oracle_fn: OracleFn):
         self.config = config
         self.oracle_fn = oracle_fn
@@ -110,14 +114,6 @@ class ConstrainedSolver:
         self._field_opt = optax.adam(config.collision_lr, b1=b1, b2=b2, eps=config.adam_eps)
         b1, b2 = config.trajectory_betas
         self._traj_opt = optax.adam(config.trajectory_lr, b1=b1, b2=b2, eps=config.adam_eps)
-        self._collision_terms = None
-        if config.use_fused_field_grad:
-            from ..ops.pallas.collision_terms import make_collision_terms
-
-            self._collision_terms = make_collision_terms(
-                config.onf, config.collision_beta,
-                interpret=jax.default_backend() == "cpu",
-            )
 
     # ------------------------------------------------------------------ init
 
@@ -279,36 +275,14 @@ class ConstrainedSolver:
         decision statically (run's chunked schedule lowers the freq to a
         static stride when it divides reparametrize_trajectory_freq).
 
-        Default (Gauss-Seidel, the reference's order nerf_opt_planner.py:60-71):
-        the trajectory loss reads the field params updated THIS step, so the
-        two sub-updates form one serial dependency chain inside the scan body.
-
-        jacobi_step: the trajectory update reads the ENTRY field params (one
-        update stale). Both sub-updates then depend only on the entry state,
-        so XLA overlaps their chains — the TPU step is dependency-chain bound.
-        prev_trajectory is pinned to the entry trajectory either way, so the
-        next step's field-sampling distribution is identical in both modes.
+        Gauss-Seidel order (the reference's, nerf_opt_planner.py:60-71): the
+        trajectory loss reads the field params updated THIS step, so the two
+        sub-updates form one serial dependency chain inside the scan body.
+        (The Jacobi/merged reorderings that cut this chain live in
+        nfopp_tpu.experimental — both TPU-measured slower,
+        BASELINE_MEASURED.md.)
         """
         cfg = self.config
-        if (cfg.jacobi_step or cfg.merged_step) and cfg.optimize_collision_model_freq != 1:
-            raise NotImplementedError(
-                "jacobi_step/merged_step require optimize_collision_model_freq == 1"
-            )
-        if cfg.merged_step:
-            if cfg.use_fused_field_grad:
-                raise NotImplementedError(
-                    "merged_step and use_fused_field_grad are mutually exclusive"
-                )
-            from .merged_step import merged_field_and_trajectory
-
-            return merged_field_and_trajectory(self, state, oracle_params, k_field, k_traj)
-        if cfg.jacobi_step:
-            prev_traj = state.trajectory
-            sample, field_loss, grads = self._field_grads(state, oracle_params, k_field)
-            state, traj_loss = self._trajectory_step(state, k_traj)
-            state = self._apply_field_update(state, sample, grads)
-            return state._replace(prev_trajectory=prev_traj), field_loss, traj_loss
-
         if with_field is False:
             field_loss = jnp.zeros((), jnp.float32)
         elif with_field is True or cfg.optimize_collision_model_freq == 1:
@@ -420,6 +394,9 @@ class ConstrainedSolver:
         ).reshape(-1)
 
         if self._collision_terms is not None:
+            # experimental hook (fused Pallas collision terms; class attribute
+            # set only by experimental.ExperimentalConstrainedSolver — trace-
+            # time dispatch, no compiled branch)
             collision_loss, multiplier_loss = self._collision_terms(
                 field_params, collision_positions, multipliers
             )
@@ -569,112 +546,6 @@ class ConstrainedSolver:
         )
         return state, aux
 
-    # -------------------------------------------- batch-explicit fast path
-
-    def _field_step_batch(self, states, oracle_params, keys, problems_per_program):
-        """Field update for a whole batch with multi-problem Pallas kernels.
-
-        Semantically identical to vmap(self._field_step) (same per-problem RNG
-        stream consumption), but the two heavy passes — candidate scoring and
-        training fwd+bwd — run as P-problems-per-program kernels instead of
-        XLA's batched fusions.
-        """
-        cfg = self.config
-        from ..ops.pallas.field_grad_multi import field_loss_and_grad_multi
-        from ..ops.pallas.onf_multi import onf_apply_fused_multi
-        from .field import field_sample_post, field_sample_pre
-
-        interpret = jax.default_backend() == "cpu"
-
-        pre = jax.vmap(field_sample_pre, in_axes=(None, 0, 0, 0))(
-            cfg, keys, states.prev_trajectory, states.bounds
-        )
-        candidates = jnp.concatenate([states.buffer_points, pre.fine], axis=1)
-        candidate_ages = jnp.concatenate(
-            [states.buffer_ages, jnp.zeros(pre.fine.shape[:2], states.buffer_ages.dtype)],
-            axis=1,
-        )
-        logits = onf_apply_fused_multi(
-            states.field_params, candidates, cfg.onf,
-            problems_per_program, interpret=interpret,
-        )[..., 0]
-        sample = jax.vmap(field_sample_post, in_axes=(None, 0, 0, 0, 0))(
-            cfg, pre, logits, candidates, candidate_ages
-        )
-        new_buffer, new_ages, train_points = (
-            sample.buffer_points, sample.buffer_ages, sample.train_points
-        )
-        truth = jax.vmap(self.oracle_fn)(oracle_params, train_points)
-        loss, grads = field_loss_and_grad_multi(
-            cfg.onf, states.field_params, train_points, truth,
-            problems_per_program, interpret=interpret,
-        )
-        updates, opt_state = jax.vmap(self._field_opt.update)(
-            grads, states.field_opt_state, states.field_params
-        )
-        params = optax.apply_updates(states.field_params, updates)
-        return (
-            states._replace(
-                field_params=params,
-                field_opt_state=opt_state,
-                buffer_points=new_buffer,
-                buffer_ages=new_ages,
-                prev_trajectory=states.trajectory,
-            ),
-            loss,
-        )
-
-    def _step_batch(self, states, oracle_params, with_reparam: bool,
-                    problems_per_program: int, with_field: bool = True):
-        cfg = self.config
-        keys = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
-        states = states._replace(key=keys[:, 0])
-        if cfg.optimize_collision_model_freq != 1 and self._static_field_stride() == 1:
-            raise NotImplementedError(
-                "batch-explicit path requires optimize_collision_model_freq == 1 "
-                "or one that divides reparametrize_trajectory_freq"
-            )
-        if with_field:
-            states, field_loss = self._field_step_batch(
-                states, oracle_params, keys[:, 1], problems_per_program
-            )
-        else:
-            field_loss = jnp.zeros((states.trajectory.shape[0],), jnp.float32)
-        states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
-        if with_reparam:
-            states = jax.vmap(self._reparametrize)(states)
-        states = states._replace(step_count=states.step_count + 1)
-        return states, StepAux(field_loss=field_loss, trajectory_loss=traj_loss)
-
-    def run_batch(self, states, oracle_params, num_steps: int,
-                  problems_per_program: int = 8):
-        """Batch-explicit `run`: multi-problem Pallas kernels for the field
-        passes, vmap for the rest. Same statically-scheduled reparametrization
-        chunking as `run`; requires num_steps % reparametrize_trajectory_freq
-        == 0 and batch % problems_per_program == 0.
-
-        Like `run`'s static path, the schedule REQUIRES step_count % freq == 0
-        on entry (true after init_state / update_*; preserved across calls
-        with multiple-of-freq lengths). There is no allow_static escape here —
-        stateful callers that may enter misaligned must realign (re-init) or
-        use `run(..., allow_static=False)` per problem; entering misaligned
-        silently trains the field and reparametrizes at the wrong steps.
-        """
-        freq = self.config.reparametrize_trajectory_freq
-        _check_chunkable("run_batch", num_steps, freq)
-        states, aux = scan_chunked(
-            lambda s, r, f: self._step_batch(s, oracle_params, r,
-                                             problems_per_program, with_field=f),
-            states, num_steps, freq,
-            self.config.scan_unroll, self.config.outer_scan_unroll,
-            field_stride=self._static_field_stride(),
-        )
-        # [chunks, freq, B] -> [B, steps] to match vmap(run)'s layout
-        aux = jax.tree_util.tree_map(
-            lambda x: jnp.moveaxis(x.reshape((num_steps,) + x.shape[2:]), 0, 1), aux
-        )
-        return states, aux
-
     # ------------------------------------------ shared-field group mode
 
     def _field_step_grouped(self, states, oracle_params, keys, group_size: int):
@@ -717,45 +588,16 @@ class ConstrainedSolver:
     def _step_grouped(self, states, oracle_params, with_reparam: bool,
                       group_size: int, with_field: bool = True):
         cfg = self.config
-        if cfg.optimize_collision_model_freq != 1 and (
-            self._static_field_stride() == 1 or cfg.merged_step or cfg.jacobi_step
-        ):
+        if cfg.optimize_collision_model_freq != 1 and self._static_field_stride() == 1:
             raise NotImplementedError(
                 "shared-field mode requires optimize_collision_model_freq == 1 "
-                "or one that divides reparametrize_trajectory_freq (plain step)"
+                "or one that divides reparametrize_trajectory_freq"
             )
         keys = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
         states = states._replace(key=keys[:, 0])
         if not with_field:
             field_loss = jnp.zeros((states.trajectory.shape[0],), jnp.float32)
             states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
-        elif cfg.merged_step:
-            # merged step (one fused ONF pass per problem), field grads
-            # group-mean'd before the Adam update — same collective pattern
-            # as the jacobi/default branches
-            from .merged_step import merged_partial_step
-
-            states, grads, field_loss, traj_loss = jax.vmap(
-                lambda s, o, kf, kt: merged_partial_step(self, s, o, kf, kt)
-            )(states, oracle_params, keys[:, 1], keys[:, 2])
-            grads = jax.tree_util.tree_map(
-                lambda g: self._group_mean(g, group_size), grads
-            )
-            updates, opt_state = jax.vmap(self._field_opt.update)(
-                grads, states.field_opt_state, states.field_params
-            )
-            params = optax.apply_updates(states.field_params, updates)
-            states = states._replace(field_params=params, field_opt_state=opt_state)
-        elif cfg.jacobi_step:
-            # same reordering as _field_and_trajectory: trajectory update
-            # reads the entry field, cutting the serial chain
-            prev_traj = states.trajectory
-            samples, field_loss, grads = self._field_grads_grouped(
-                states, oracle_params, keys[:, 1], group_size
-            )
-            states, traj_loss = jax.vmap(self._trajectory_step)(states, keys[:, 2])
-            states = jax.vmap(self._apply_field_update)(states, samples, grads)
-            states = states._replace(prev_trajectory=prev_traj)
         else:
             states, field_loss = self._field_step_grouped(
                 states, oracle_params, keys[:, 1], group_size

@@ -140,6 +140,7 @@ def sample_field_points(
     buffer_ages: jnp.ndarray,
     field_params: dict,
     bounds: jnp.ndarray,
+    score_fn=None,
 ) -> FieldSample:
     """Assemble the field-training batch (ref _sample_collision_checker_points,
     nerf_opt_planner.py:101-111) and advance the replay buffer.
@@ -153,18 +154,12 @@ def sample_field_points(
     candidate_ages = jnp.concatenate(
         [buffer_ages, jnp.zeros(pre.fine.shape[0], buffer_ages.dtype)]
     )
-    if config.use_fused_field_grad:
-        # score candidates in the fused VMEM-resident kernel: the XLA path
-        # materializes every [B, 199, 100..320] activation to HBM (profiled
-        # HBM-bound, BASELINE_MEASURED.md)
-        from ..ops.pallas.onf_fused import onf_apply_fused_single
-
-        interpret = jax.default_backend() == "cpu"
-        logits = onf_apply_fused_single(
-            field_params, candidates, config.onf, interpret=interpret
-        )[:, 0]
-    else:
+    if score_fn is None:
         logits = onf_apply(field_params, candidates, config.onf)[:, 0]
+    else:
+        # experimental hook (e.g. the fused VMEM-resident Pallas kernel —
+        # TPU-measured slower than XLA's batched fusions, BASELINE_MEASURED.md)
+        logits = score_fn(field_params, candidates)
     return field_sample_post(config, pre, logits, candidates, candidate_ages)
 
 
@@ -177,17 +172,9 @@ def field_loss_and_grad(
     """BCE-with-logits loss of field predictions vs oracle truth + param grads
     (ref _optimize_collision_model, nerf_opt_planner.py:76-91).
 
-    With config.use_fused_field_grad the fused Pallas kernel computes loss and
-    all parameter gradients in one VMEM-resident pass (same numbers up to f32
-    reassociation; interpreter mode on CPU backends).
+    The fused-Pallas alternative lives in nfopp_tpu.experimental (TPU-measured
+    slower; BASELINE_MEASURED.md).
     """
-    if config.use_fused_field_grad:
-        from ..ops.pallas.field_grad import field_loss_and_grad_fused
-
-        interpret = jax.default_backend() == "cpu"
-        return field_loss_and_grad_fused(
-            config.onf, field_params, points, truth, interpret=interpret
-        )
 
     def loss_fn(params):
         logits = onf_apply(params, points, config.onf)

@@ -28,6 +28,7 @@ __all__ = [
     "TrackingResult",
     "evaluate_path",
     "run_with_tracking",
+    "run_grouped_with_tracking",
     "run_tracking_segment",
     "tracking_finalize",
     "tracking_init",
@@ -204,4 +205,85 @@ def tracking_finalize(
     feasible = ~final_collides | has_best
     return TrackingResult(
         state=state, path=path, length=length, feasible=feasible, iterations=iterations
+    )
+
+
+def run_grouped_with_tracking(
+    solver,
+    states: Any,
+    oracle_params: Any,
+    group_size: int,
+    max_iterations: int = 1000,
+    min_iterations: int = 200,
+    check_freq: int = 50,
+    samples_per_segment: int = 5,
+) -> TrackingResult:
+    """Shared-field benchmark solve, fully device-side.
+
+    `lax.scan` over check_freq-step chunks of `solver.run_grouped` (batch-
+    level: one occupancy field per `group_size` problems) with per-problem
+    best-path bookkeeping in the scan carry — ONE dispatch for the whole
+    budget, where the previous host chunk loop paid ~max_iterations/check_freq
+    dispatches of random 0.1-0.4 s tunnel latency each.
+
+    No per-problem early stop: the shared field must keep stepping for the
+    whole group, so the full budget always runs and every chunk's path is a
+    best-path candidate past min_iterations (the final chunk included —
+    run_bench_mr.py:111-134 semantics in full-budget mode, the
+    measured-better default, BASELINE_MEASURED.md).
+    """
+    num_chunks = -(-max_iterations // check_freq)
+    paths0 = jax.vmap(solver.full_trajectory)(states)
+    batch = paths0.shape[0]
+
+    def eval_batch(paths):
+        return jax.vmap(
+            lambda o, p: evaluate_path(
+                solver.oracle_fn, o, p, samples_per_segment
+            )
+        )(oracle_params, paths)
+
+    def chunk_body(carry, c):
+        states, best_path, best_length, best_feasible, iterations = carry
+        states, _ = solver.run_grouped(
+            states, oracle_params, check_freq, group_size
+        )
+        paths = jax.vmap(solver.full_trajectory)(states)
+        collides, length = eval_batch(paths)
+        done = (c + 1) * check_freq
+        better = (done > min_iterations) & ~collides & (length < best_length)
+        best_path = jnp.where(better[:, None, None], paths, best_path)
+        best_length = jnp.where(better, length, best_length)
+        best_feasible = best_feasible | better
+        iterations = jnp.where(better, done, iterations)
+        carry = (states, best_path, best_length, best_feasible, iterations)
+        return carry, (collides, length)
+
+    carry0 = (
+        states,
+        paths0,
+        jnp.full((batch,), jnp.inf, jnp.float32),
+        jnp.zeros((batch,), bool),
+        jnp.zeros((batch,), jnp.int32),
+    )
+    carry, (collides_h, length_h) = jax.lax.scan(
+        chunk_body, carry0, jnp.arange(num_chunks, dtype=jnp.int32)
+    )
+    states, best_path, best_length, best_feasible, iterations = carry
+    # the last chunk's evaluation IS the final one; a final-iterate
+    # feasibility counts even without a tracked best (run_with_tracking:
+    # feasible = ~final_collides | has_best)
+    final_collides, final_length = collides_h[-1], length_h[-1]
+    final_paths = jax.vmap(solver.full_trajectory)(states)
+    no_best = ~best_feasible
+    best_path = jnp.where(no_best[:, None, None], final_paths, best_path)
+    best_length = jnp.where(no_best, final_length, best_length)
+    iterations = jnp.where(no_best, num_chunks * check_freq, iterations)
+    feasible = best_feasible | (no_best & ~final_collides)
+    return TrackingResult(
+        state=states,
+        path=best_path,
+        length=best_length,
+        feasible=feasible,
+        iterations=iterations,
     )

@@ -33,9 +33,23 @@ def main() -> int:
     parser.add_argument("--planner", help="restrict trajectory gallery to one planner")
     parser.add_argument("--max-runs", type=int, help="limit gallery size")
     parser.add_argument("--metrics", help="comma-separated metric list override")
+    parser.add_argument("--sweep-panel", help="treat FILES[0] as a "
+                        "run_sweep.py row list and write sigma x "
+                        "collision_weight heatmaps here (png/pdf)")
     args = parser.parse_args()
 
     from nfopp_tpu.bench import analysis
+
+    if args.sweep_panel:
+        import json
+
+        rows = json.loads(pathlib.Path(args.files[0]).read_text())
+        out = analysis.plot_sweep(
+            rows, args.sweep_panel,
+            title=pathlib.Path(args.files[0]).stem,
+        )
+        print(f"sweep panel -> {out}")
+        return 0
 
     doc = analysis.load_results(args.files)
     metrics = args.metrics.split(",") if args.metrics else None

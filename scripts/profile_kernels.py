@@ -35,10 +35,10 @@ def main():
     enable_tpu_compile_cache()  # TPU-only (backend-checked)
 
     from nfopp_tpu.models import ONFConfig, init_onf_params, onf_apply
-    from nfopp_tpu.ops.pallas.onf_fused import onf_apply_fused
+    from nfopp_tpu.experimental.pallas.onf_fused import onf_apply_fused
     from nfopp_tpu.solver import SolverConfig
     from nfopp_tpu.solver.field import field_loss_and_grad
-    from nfopp_tpu.ops.pallas.field_grad import field_loss_and_grad_fused
+    from nfopp_tpu.experimental.pallas.field_grad import field_loss_and_grad_fused
 
     onf = ONFConfig(mean=0.0, sigma=1.0, use_cos=True, angle_encoding=True)
     onf_bf16 = onf._replace(compute_dtype="bfloat16")

@@ -36,6 +36,10 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from nfopp_tpu.utils import enable_tpu_compile_cache
+
+    enable_tpu_compile_cache()  # TPU-only (backend-checked)
+
     from nfopp_tpu.bench.runner import run_grid_suite
     from nfopp_tpu.utils import Config
     from nfopp_tpu.worlds import corridor, random_forest

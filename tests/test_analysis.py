@@ -94,3 +94,27 @@ class TestAnalysis:
     def test_empty_document_raises(self, tmp_path):
         with pytest.raises(ValueError):
             analysis.plot_trajectories({"runs": []}, tmp_path / "x.png")
+
+
+class TestSweepPanel:
+    def test_renders_grid(self, tmp_path):
+        rows = [
+            {"sigma": s, "collision_weight": w, "feasible": f, "total": 10,
+             "mean_feasible_length": ln, "wall_s": 1.0}
+            for (s, w, f, ln) in [
+                (2.5, 50.0, 10, 34.7), (2.5, 100.0, 9, 34.6),
+                (5.0, 50.0, 10, 34.5), (5.0, 100.0, 10, 34.8),
+            ]
+        ]
+        out = analysis.plot_sweep(rows, tmp_path / "sweep.png", title="t")
+        assert out.stat().st_size > 1000
+
+    def test_handles_nan_length_cell(self, tmp_path):
+        rows = [
+            {"sigma": 2.5, "collision_weight": 50.0, "feasible": 0, "total": 4,
+             "mean_feasible_length": float("nan"), "wall_s": 1.0},
+            {"sigma": 5.0, "collision_weight": 50.0, "feasible": 4, "total": 4,
+             "mean_feasible_length": 30.0, "wall_s": 1.0},
+        ]
+        out = analysis.plot_sweep(rows, tmp_path / "sweep2.png")
+        assert out.stat().st_size > 1000

@@ -6,7 +6,7 @@ import pytest
 
 from nfopp_tpu.models import ONFConfig, init_onf_params, onf_apply
 from nfopp_tpu.ops.losses import softplus_beta
-from nfopp_tpu.ops.pallas.collision_terms import make_collision_terms
+from nfopp_tpu.experimental.pallas.collision_terms import make_collision_terms
 
 
 @pytest.mark.parametrize("beta", [1.0, 10.0])
@@ -69,7 +69,8 @@ def test_solver_with_fused_collision_terms():
         onf=ONFConfig(angle_encoding=True), angle_offset=0.3,
     )
     ref_solver = ConstrainedSolver(base, circle_collision)
-    fused_solver = ConstrainedSolver(base._replace(use_fused_field_grad=True), circle_collision)
+    from nfopp_tpu.experimental import ExperimentalConstrainedSolver
+    fused_solver = ExperimentalConstrainedSolver(base, circle_collision, use_fused_field_grad=True)
     s0 = ref_solver.init_state(
         jax.random.PRNGKey(0), env.start, env.goal, jnp.asarray(env.bounds), oracle
     )

@@ -138,7 +138,10 @@ class TestStaticFieldStride:
     def test_run_batch_static_stride_matches_vmapped_run(self):
         """run_batch's field-stride path vs vmapped run (advisor round-2 gap:
         the stride path through the multi-problem kernels was untested)."""
+        from nfopp_tpu.experimental import ExperimentalConstrainedSolver
+
         solver, state, oracle = _setup(2)
+        solver = ExperimentalConstrainedSolver(solver.config, solver.oracle_fn)
         batch = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (4,) + x.shape), state
         )

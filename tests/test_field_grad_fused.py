@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from nfopp_tpu.models import ONFConfig, init_onf_params
-from nfopp_tpu.ops.pallas.field_grad import field_loss_and_grad_fused
+from nfopp_tpu.experimental.pallas.field_grad import field_loss_and_grad_fused
 from nfopp_tpu.solver import SolverConfig
 from nfopp_tpu.solver.field import field_loss_and_grad
 

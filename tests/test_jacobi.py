@@ -1,6 +1,6 @@
 """Jacobi step order: trajectory update reads the entry (one-update-stale)
 field params, cutting the serial field->trajectory dependency chain in the
-scan body (SolverConfig.jacobi_step).
+scan body (experimental.ExperimentalConstrainedSolver(jacobi_step=True)).
 
 Invariants tested:
 - the field sub-update is bit-identical to the default (Gauss-Seidel) order
@@ -14,6 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nfopp_tpu.experimental import ExperimentalConstrainedSolver
 from nfopp_tpu.models import ONFConfig
 from nfopp_tpu.parallel import BatchPlanner, problem_mesh
 from nfopp_tpu.solver import ConstrainedSolver, SolverConfig, run_planner_config
@@ -40,7 +41,7 @@ def make_pair(**cfg_kwargs):
         onf=ONFConfig(angle_encoding=True), angle_offset=0.3, **cfg_kwargs,
     )
     gs = ConstrainedSolver(base, circle_collision)
-    jc = ConstrainedSolver(base._replace(jacobi_step=True), circle_collision)
+    jc = ExperimentalConstrainedSolver(base, circle_collision, jacobi_step=True)
     state = gs.init_state(
         jax.random.PRNGKey(0), env.start, env.goal,
         jnp.asarray(env.bounds, jnp.float32), oracle,
@@ -83,8 +84,8 @@ class TestJacobiStep:
             jnp.asarray([-0.3, 0.2, -0.3, 0.2], jnp.float32),
             jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
         )
-        solver = ConstrainedSolver(
-            run_planner_config()._replace(jacobi_step=True), rectangle_collision
+        solver = ExperimentalConstrainedSolver(
+            run_planner_config(), rectangle_collision, jacobi_step=True
         )
         state = solver.init_state(
             jax.random.PRNGKey(0), env.start, env.goal,
@@ -110,9 +111,9 @@ class TestJacobiStep:
         )
         cfg = SolverConfig(
             trajectory_length=12, collision_point_count=12, random_field_points=4,
-            onf=ONFConfig(angle_encoding=True), angle_offset=0.3, jacobi_step=True,
+            onf=ONFConfig(angle_encoding=True), angle_offset=0.3,
         )
-        solver = ConstrainedSolver(cfg, circle_collision)
+        solver = ExperimentalConstrainedSolver(cfg, circle_collision, jacobi_step=True)
         batch = 8
         starts = jnp.tile(jnp.asarray(env.start)[None], (batch, 1))
         goals = jnp.tile(jnp.asarray(env.goal)[None], (batch, 1))

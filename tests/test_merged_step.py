@@ -1,4 +1,4 @@
-"""Merged field+trajectory step (SolverConfig.merged_step).
+"""Merged field+trajectory step (experimental merged_step mode).
 
 Invariants:
 - the hand-written ONF backward matches jax.grad exactly (param grads over a
@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from nfopp_tpu.models import ONFConfig, init_onf_params, onf_apply
 from nfopp_tpu.solver import ConstrainedSolver, SolverConfig
-from nfopp_tpu.solver.merged_step import onf_backward, onf_forward_acts
+from nfopp_tpu.experimental import ExperimentalConstrainedSolver
+from nfopp_tpu.experimental.merged_step import onf_backward, onf_forward_acts
 from nfopp_tpu.worlds import (
     CircleOracle,
     circle_collision,
@@ -39,8 +40,8 @@ def make_solvers(**cfg_kwargs):
         trajectory_length=12, collision_point_count=12, random_field_points=4,
         onf=ONFConfig(angle_encoding=True), angle_offset=0.3, **cfg_kwargs,
     )
-    jc = ConstrainedSolver(base._replace(jacobi_step=True), circle_collision)
-    mg = ConstrainedSolver(base._replace(merged_step=True), circle_collision)
+    jc = ExperimentalConstrainedSolver(base, circle_collision, jacobi_step=True)
+    mg = ExperimentalConstrainedSolver(base, circle_collision, merged_step=True)
     state = jc.init_state(
         jax.random.PRNGKey(0), env.start, env.goal,
         jnp.asarray(env.bounds, jnp.float32), oracle,

@@ -98,3 +98,65 @@ class TestMultiQuery:
         assert result.path.shape == (18, 3)
         assert result.length.shape == ()
         assert result.feasible.shape == ()
+
+
+class TestGroupedTrackingDeviceSide:
+    def test_matches_host_chunk_loop(self):
+        """run_grouped_with_tracking (one jitted scan) must reproduce the
+        former host-side chunk loop exactly: same chunked run_grouped calls,
+        same bookkeeping, so bit-identical paths/lengths/flags on CPU."""
+        env, oracle, solver = car_setup()
+        planner = BatchPlanner(solver, problem_mesh(jax.devices()[:1]))
+        starts = jnp.asarray([env.start, env.start], jnp.float32)
+        goals = jnp.asarray([env.goal, env.goal], jnp.float32)
+        batch = 2
+        oracles = jax.tree_util.tree_map(
+            lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), oracle
+        )
+        bounds = jnp.tile(jnp.asarray(env.bounds, jnp.float32)[None], (batch, 1))
+        group_size, max_iterations, min_iterations, check_freq = 2, 100, 20, 20
+
+        def make_states():
+            return planner.init_batch_grouped(
+                jax.random.PRNGKey(3), starts, goals, bounds, oracles, group_size
+            )
+
+        device = planner.solve_grouped_tracked(
+            make_states(), oracles, group_size, max_iterations,
+            min_iterations, check_freq,
+        )
+
+        # the pre-round-3 host loop, inlined
+        states = make_states()
+        num_chunks = -(-max_iterations // check_freq)
+        best_path = np.array(planner.paths(states))
+        best_length = np.full(batch, np.inf)
+        best_feasible = np.zeros(batch, bool)
+        iterations = np.zeros(batch, np.int32)
+        path = np.asarray(best_path)
+        length = np.full(batch, np.nan)
+        feasible = np.zeros(batch, bool)
+        for c in range(num_chunks):
+            states, _ = planner.run_grouped(states, oracles, check_freq, group_size)
+            done = (c + 1) * check_freq
+            path = np.asarray(planner.paths(states))
+            collides, length = planner._eval_paths(oracles, jnp.asarray(path))
+            feasible = ~np.asarray(collides)
+            length = np.asarray(length)
+            better = (done > min_iterations) & feasible & (length < best_length)
+            best_path[better] = path[better]
+            best_length[better] = length[better]
+            best_feasible |= better
+            iterations[better] = done
+        no_best = ~best_feasible
+        best_path[no_best] = path[no_best]
+        best_length[no_best] = length[no_best]
+        iterations[no_best] = num_chunks * check_freq
+        feasible_out = best_feasible | (no_best & feasible)
+
+        np.testing.assert_array_equal(np.asarray(device.path), best_path)
+        np.testing.assert_array_equal(
+            np.asarray(device.length), best_length.astype(np.float32)
+        )
+        np.testing.assert_array_equal(np.asarray(device.feasible), feasible_out)
+        np.testing.assert_array_equal(np.asarray(device.iterations), iterations)

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import pytest
 
 from nfopp_tpu.models import ONFConfig, init_onf_params, onf_apply
-from nfopp_tpu.ops.pallas import onf_apply_fused
+from nfopp_tpu.experimental.pallas import onf_apply_fused
 
 
 @pytest.mark.parametrize(

@@ -15,14 +15,21 @@ from nfopp_tpu.worlds import (
 )
 
 
-def setup(config):
+def setup(config, use_fused_field_grad=False):
     env = two_walls_se2_environment()
     pts, mask = pad_obstacle_points(env.obstacle_points.astype(np.float32), 32)
     oracle = CircleOracle(
         jnp.asarray(pts), jnp.asarray(mask), jnp.float32(0.3),
         jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
     )
-    solver = ConstrainedSolver(config, circle_collision)
+    if use_fused_field_grad:
+        from nfopp_tpu.experimental import ExperimentalConstrainedSolver
+
+        solver = ExperimentalConstrainedSolver(
+            config, circle_collision, use_fused_field_grad=True
+        )
+    else:
+        solver = ConstrainedSolver(config, circle_collision)
     state = solver.init_state(
         jax.random.PRNGKey(0), env.start, env.goal, jnp.asarray(env.bounds), oracle
     )
@@ -72,7 +79,7 @@ def test_fused_field_grad_solver_short_horizon():
         angle_offset=0.3,
     )
     s_ref, state_ref, oracle = setup(base)
-    s_fused, state_fused, _ = setup(base._replace(use_fused_field_grad=True))
+    s_fused, state_fused, _ = setup(base, use_fused_field_grad=True)
     out_ref, _ = jax.jit(lambda s, o: s_ref.run(s, o, 5))(state_ref, oracle)
     out_fused, _ = jax.jit(lambda s, o: s_fused.run(s, o, 5))(state_fused, oracle)
     np.testing.assert_allclose(

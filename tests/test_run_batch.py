@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from nfopp_tpu.experimental import ExperimentalConstrainedSolver
 from nfopp_tpu.models import ONFConfig
 from nfopp_tpu.solver import ConstrainedSolver, SolverConfig
 from nfopp_tpu.worlds import (
@@ -25,7 +26,7 @@ def test_run_batch_matches_vmapped_run():
         trajectory_length=12, collision_point_count=12, random_field_points=4,
         onf=ONFConfig(angle_encoding=True), angle_offset=0.3,
     )
-    solver = ConstrainedSolver(cfg, circle_collision)
+    solver = ExperimentalConstrainedSolver(cfg, circle_collision)
     batch = 4
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states = jax.vmap(
@@ -55,6 +56,6 @@ def test_run_batch_matches_vmapped_run():
 def test_run_batch_validations():
     cfg = SolverConfig(trajectory_length=12, collision_point_count=12,
                        onf=ONFConfig(angle_encoding=True))
-    solver = ConstrainedSolver(cfg, circle_collision)
+    solver = ExperimentalConstrainedSolver(cfg, circle_collision)
     with pytest.raises(ValueError, match="reparametrize"):
         solver.run_batch(None, None, 7)
