@@ -126,10 +126,49 @@ def ours_run(seeds, iterations: int, cpu: bool):
     )
     run = jax.jit(jax.vmap(lambda s, o: solver.run(s, o, iterations)))
     t0 = time.time()
-    states, _ = jax.block_until_ready(run(states, oracles))
+    final_states, _ = jax.block_until_ready(run(states, oracles))
     elapsed = time.time() - t0
-    paths = np.asarray(jax.vmap(solver.full_trajectory)(states))
-    return paths, elapsed
+    paths = np.asarray(jax.vmap(solver.full_trajectory)(final_states))
+
+    # Production mode: full budget + device-side best-feasible-path tracking
+    # (run_bench_mr.py semantics, stop_on_plateau=False — the measured-better
+    # default). Same iteration budget; reported alongside the final-iterate
+    # number, which is the methodology-matched parity row.
+    from functools import partial
+
+    from nfopp_tpu.solver.tracking import run_with_tracking
+
+    track = jax.jit(jax.vmap(
+        partial(run_with_tracking, solver),
+        in_axes=(0, 0, None, None, None, None, None),
+    ), static_argnums=(2, 3, 4, 5, 6))
+    result = track(states, oracles, iterations, 200, 50, 5, False)
+    tracked_paths = np.asarray(result.path)
+    tracked_feasible = np.asarray(result.feasible)
+
+    # Restart fallback (bench/runner.py restart_failed semantics): re-solve
+    # still-infeasible seeds with fresh streams at the same budget. The
+    # production framework's answer to knife-edge scenes — MovingAI went
+    # 7/10 -> 10/10 this way (BASELINE_MEASURED.md).
+    restart_paths = tracked_paths.copy()
+    restart_feasible = tracked_feasible.copy()
+    restarts_used = np.zeros(len(seeds), np.int32)
+    for r in range(1, 5):
+        if restart_feasible.all():
+            break
+        idx = np.flatnonzero(~restart_feasible)
+        ks = jnp.stack([jax.random.PRNGKey(int(s) + 1000 * r) for s in idx])
+        sub = init(ks)
+        sub_oracles = jax.tree_util.tree_map(
+            lambda x: jnp.tile(x[None], (len(idx),) + (1,) * x.ndim), oracle
+        )
+        res = track(sub, sub_oracles, iterations, 200, 50, 5, False)
+        ok = np.asarray(res.feasible)
+        restart_paths[idx[ok]] = np.asarray(res.path)[ok]
+        restart_feasible[idx[ok]] = True
+        restarts_used[idx] = r
+    return (paths, elapsed, tracked_paths, tracked_feasible,
+            restart_paths, restart_feasible)
 
 
 def make_oracle():
@@ -176,12 +215,23 @@ def main():
     args = parser.parse_args()
     seeds = list(range(args.seeds))
 
-    ours_paths, ours_time = ours_run(seeds, args.iterations, args.cpu)
+    (ours_paths, ours_time, tracked_paths, _, restart_paths,
+     restart_feasible) = ours_run(seeds, args.iterations, args.cpu)
     ours_feasible, ours_lengths = evaluate(ours_paths)
     ours_mean = float(ours_lengths[ours_feasible].mean()) if ours_feasible.any() else None
     print(f"ours:      feasible {ours_feasible.sum()}/{len(seeds)}, "
           f"mean feasible length {ours_mean}, "
           f"wall {ours_time:.1f}s for ALL {len(seeds)} seeds (batched)")
+    trk_feasible, trk_lengths = evaluate(tracked_paths)
+    trk_mean = float(trk_lengths[trk_feasible].mean()) if trk_feasible.any() else None
+    print(f"ours+trk:  feasible {trk_feasible.sum()}/{len(seeds)}, "
+          f"mean feasible length {trk_mean} "
+          f"(full budget + best-feasible tracking, production mode)")
+    rst_feasible, rst_lengths = evaluate(restart_paths)
+    rst_mean = float(rst_lengths[rst_feasible].mean()) if rst_feasible.any() else None
+    print(f"ours+rst:  feasible {rst_feasible.sum()}/{len(seeds)}, "
+          f"mean feasible length {rst_mean} "
+          f"(+ up to 4 fresh-stream restarts of infeasible seeds)")
 
     result = {
         "fixture": "two_walls holonomic (test_nerf_opt_planner.py setUp)",
@@ -191,6 +241,15 @@ def main():
             "feasible": int(ours_feasible.sum()),
             "mean_feasible_length": ours_mean,
             "wall_s_batched": round(ours_time, 2),
+        },
+        "ours_tracked": {
+            "feasible": int(trk_feasible.sum()),
+            "mean_feasible_length": trk_mean,
+        },
+        "ours_restarts": {
+            "feasible": int(rst_feasible.sum()),
+            "mean_feasible_length": rst_mean,
+            "max_restarts": 4,
         },
     }
 
@@ -223,6 +282,11 @@ def main():
             print(f"cost ratio (ours/reference, path length): {ratio:.4f} "
                   f"({(ratio - 1) * 100:+.2f}%)")
             result["cost_ratio"] = round(ratio, 4)
+        if trk_feasible.any() and ref_feasible.any():
+            ratio = trk_mean / ref_mean
+            print(f"cost ratio (ours+tracking/reference): {ratio:.4f} "
+                  f"({(ratio - 1) * 100:+.2f}%)")
+            result["cost_ratio_tracked"] = round(ratio, 4)
     else:
         print("reference: skipped")
 
