@@ -59,6 +59,7 @@ def run_grid_suite(
     checkpoint_path=None,
     checkpoint_every_chunks: int = 4,
     resume: bool = False,
+    shortcut_trials: int = 0,
 ) -> SuiteResult:
     """Solve every scenario in one batch; scenarios must share grid shape.
 
@@ -83,6 +84,11 @@ def run_grid_suite(
     from the newest checkpoint — everything up to the solve (world build,
     init, wavefront) is deterministic, so a killed-and-resumed suite is
     bit-identical to an uninterrupted checkpointed one.
+
+    shortcut_trials=T > 0 runs T random-pair shortcut attempts per path after
+    the solve (ops/shortcut.py — the OMPL PathSimplifier role the reference
+    never invokes). Feasible paths only get shorter at the same dense-check
+    density; infeasible paths are a no-op.
     """
     if parameters is None:
         parameters = DEFAULT_PARAMETERS
@@ -190,6 +196,25 @@ def run_grid_suite(
                 feasible[b] = True
                 # total optimization spent on this problem: first try + restarts
                 iterations[b] = iterations[b] + int(r_iter[j, best])
+
+    if shortcut_trials > 0:
+        from ..ops.shortcut import shortcut_batch
+        from ..solver.tracking import evaluate_path
+
+        short = jax.jit(
+            lambda o, p, k: shortcut_batch(
+                grid_collision, o, p, k, shortcut_trials
+            )
+        )(oracles, jnp.asarray(paths), jax.random.PRNGKey(seed ^ 0x5C0C))
+        collides_s, lengths_s = jax.jit(jax.vmap(
+            lambda o, p: evaluate_path(grid_collision, o, p, 5)
+        ))(oracles, short)
+        collides_s = np.asarray(collides_s)
+        # accepted shortcuts can't break feasibility at the same sampling
+        # density; keep the original path for problems that were infeasible
+        take = feasible & ~collides_s
+        paths[take] = np.asarray(short)[take]
+        lengths[take] = np.asarray(lengths_s)[take]
     wall = time.time() - t0
 
     log = ResultsLog(settings={"nfomp": dict(parameters)})

@@ -128,6 +128,10 @@ def main():
     parser.add_argument("--restart-failed", type=int, default=0, metavar="R",
                         help="re-solve infeasible problems as R fresh restarts "
                         "(one extra batched solve), keep the best feasible")
+    parser.add_argument("--shortcut", type=int, default=0, metavar="T",
+                        help="post-solve random-pair shortcut attempts per "
+                        "path (ops/shortcut.py — the OMPL PathSimplifier "
+                        "role; the reference never simplifies)")
     parser.add_argument("--nfomp", help="JSON file/string with parameter overrides")
     parser.add_argument("--checkpoint", metavar="PATH",
                         help="checkpoint the solve every --checkpoint-every "
@@ -180,6 +184,7 @@ def main():
         checkpoint_path=args.checkpoint,
         checkpoint_every_chunks=args.checkpoint_every,
         resume=args.resume,
+        shortcut_trials=args.shortcut,
     )
 
     feasible = result.feasible
