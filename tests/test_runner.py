@@ -141,3 +141,36 @@ class TestRestartFailed:
         assert bool(base.feasible[0]) and bool(with_restart.feasible[0])
         np.testing.assert_allclose(base.paths, with_restart.paths)
         np.testing.assert_array_equal(base.iterations, with_restart.iterations)
+
+
+class TestShortcutTrials:
+    def test_shortcut_shortens_without_breaking(self, suite_result, mesh2):
+        """shortcut_trials > 0: feasibility and endpoints unchanged, lengths
+        never longer, infeasible problems untouched."""
+        scenarios, base = suite_result
+        short = run_grid_suite(
+            scenarios, small_parameters(), max_iterations=200,
+            min_iterations=50, check_freq=25, mesh=mesh2,
+            shortcut_trials=32,
+        )
+        assert short.feasible.all()
+        assert (short.lengths <= base.lengths + 1e-5).all()
+        np.testing.assert_allclose(short.paths[:, 0], base.paths[:, 0], atol=1e-5)
+        np.testing.assert_allclose(short.paths[:, -1], base.paths[:, -1], atol=1e-5)
+        # logged stats reflect the shortcut paths
+        stats = short.log.runs[0]["plans"]["constrained_onf_planner"]["stats"]
+        assert abs(stats["path_length"] - float(short.lengths[0])) < 1e-3
+
+    def test_shortcut_noop_on_infeasible(self):
+        scenarios = [wall_scenario(), boxed_scenario()]
+        mesh = problem_mesh(jax.devices()[:2])
+        base = run_grid_suite(
+            scenarios, small_parameters(), max_iterations=100,
+            min_iterations=50, check_freq=25, mesh=mesh,
+        )
+        short = run_grid_suite(
+            scenarios, small_parameters(), max_iterations=100,
+            min_iterations=50, check_freq=25, mesh=mesh, shortcut_trials=32,
+        )
+        assert not bool(short.feasible[1])
+        np.testing.assert_allclose(short.paths[1], base.paths[1])
