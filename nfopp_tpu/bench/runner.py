@@ -88,7 +88,9 @@ def run_grid_suite(
     shortcut_trials=T > 0 runs T random-pair shortcut attempts per path after
     the solve (ops/shortcut.py — the OMPL PathSimplifier role the reference
     never invokes). Feasible paths only get shorter at the same dense-check
-    density; infeasible paths are a no-op.
+    density; an infeasible path is usually a no-op, but a chord spanning its
+    colliding region can repair it — repaired paths pass the dense re-check
+    and are counted feasible.
     """
     if parameters is None:
         parameters = DEFAULT_PARAMETERS
@@ -211,10 +213,13 @@ def run_grid_suite(
         ))(oracles, short)
         collides_s = np.asarray(collides_s)
         # accepted shortcuts can't break feasibility at the same sampling
-        # density; keep the original path for problems that were infeasible
-        take = feasible & ~collides_s
+        # density, and a chord spanning an infeasible path's colliding span
+        # can even REPAIR it — so take the shortcut path whenever its dense
+        # re-check passes, and count the rescued problems as feasible
+        take = ~collides_s
         paths[take] = np.asarray(short)[take]
         lengths[take] = np.asarray(lengths_s)[take]
+        feasible = feasible | take
     wall = time.time() - t0
 
     log = ResultsLog(settings={"nfomp": dict(parameters)})

@@ -15,6 +15,7 @@ __all__ = [
     "sinc",
     "segment_lengths",
     "arc_length_cdf",
+    "dense_path",
 ]
 
 
@@ -46,6 +47,28 @@ def sinc(x: jnp.ndarray, epsilon: float = 1e-4) -> jnp.ndarray:
     sign = jnp.where(x >= 0, 1.0, -1.0)
     x = jnp.where(jnp.abs(x) > epsilon, x, sign * epsilon)
     return jnp.sin(x) / x
+
+
+def dense_path(full_path: jnp.ndarray, samples_per_segment: int) -> jnp.ndarray:
+    """[M, d] -> [(M-1)*S + 1, d] dense samples; xy lerp + shortest-arc angle.
+
+    The ONE densification used by both the benchmark evaluator
+    (solver/tracking.py evaluate_path — the reference's interpolated validity
+    check, BenchmarkAdapter.cpp:201-208) and the shortcut accept-check
+    (ops/shortcut.py), so the two can never drift apart.
+    """
+    a = full_path[:-1]  # [M-1, d]
+    b = full_path[1:]
+    fractions = (
+        jnp.arange(samples_per_segment, dtype=full_path.dtype) / samples_per_segment
+    )
+    delta = b - a
+    if full_path.shape[1] == 3:
+        delta = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
+    # [M-1, S, d]
+    dense = a[:, None, :] + fractions[None, :, None] * delta[:, None, :]
+    dense = dense.reshape(-1, full_path.shape[1])
+    return jnp.concatenate([dense, full_path[-1:]], axis=0)
 
 
 def segment_lengths(points: jnp.ndarray) -> jnp.ndarray:

@@ -22,7 +22,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from .math import wrap_angle
+from .math import dense_path, wrap_angle
 
 __all__ = ["shortcut_path", "shortcut_batch"]
 
@@ -35,17 +35,12 @@ def _dense_collides(
     path: jnp.ndarray,
     samples_per_segment: int,
 ) -> jnp.ndarray:
-    """Whole-path dense collision check (tracking._dense_path semantics)."""
-    a, b = path[:-1], path[1:]
-    fractions = (
-        jnp.arange(samples_per_segment, dtype=path.dtype) / samples_per_segment
+    """Whole-path dense collision check — SAME densification as the benchmark
+    evaluator (ops.math.dense_path, used by tracking.evaluate_path), so an
+    accepted candidate is collision-free under the evaluator by construction."""
+    return jnp.any(
+        oracle_fn(oracle_params, dense_path(path, samples_per_segment))
     )
-    delta = b - a
-    if path.shape[1] == 3:
-        delta = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
-    dense = a[:, None, :] + fractions[None, :, None] * delta[:, None, :]
-    dense = jnp.concatenate([dense.reshape(-1, path.shape[1]), path[-1:]], axis=0)
-    return jnp.any(oracle_fn(oracle_params, dense))
 
 
 def shortcut_path(
@@ -58,8 +53,13 @@ def shortcut_path(
 ) -> jnp.ndarray:
     """Shorten one [M, d] path (d = 2 or 3) by num_trials shortcut attempts.
 
-    Infeasible inputs are a no-op: every candidate fails the whole-path
-    collision check, so the path comes back unchanged.
+    Every ACCEPTED candidate is whole-path collision-free at the evaluator's
+    density, so the output of a feasible input stays feasible. An infeasible
+    input usually comes back unchanged (candidates keeping the colliding span
+    fail the check) — but a chord spanning the entire colliding region can
+    produce a collision-free candidate, in which case the path is REPAIRED to
+    feasible; callers should re-evaluate the output rather than assume the
+    input's feasibility (bench/runner.py does).
     """
     m = path.shape[0]
     idx = jnp.arange(m)

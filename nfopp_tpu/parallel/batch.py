@@ -245,9 +245,11 @@ class BatchPlanner:
         (atomic rename). With resume=True an existing checkpoint is loaded
         and the remaining segments run — a resumed run re-executes the exact
         segment programs an uninterrupted run would, so results are
-        bit-identical (tests/test_checkpoint_resume.py). The file is NOT
-        deleted on completion (the final save marks all chunks done, making a
-        re-resume a no-op finalize); callers own cleanup.
+        bit-identical (tests/test_checkpoint_resume.py). Once every lane has
+        early-stopped (stop_on_plateau) the remaining segments are skipped
+        rather than dispatched as no-ops. The file is NOT deleted on
+        completion (a re-resume loads the final carry, skips the exhausted or
+        all-done segments, and just finalizes); callers own cleanup.
         """
         import pathlib
 
@@ -266,6 +268,11 @@ class BatchPlanner:
             carry = jax.device_put(carry, self._sharding)
         start_chunk = int(np.max(np.asarray(carry.chunk)))
         for end in range(start_chunk, num_chunks, checkpoint_every_chunks):
+            if bool(np.all(np.asarray(carry.done))):
+                # every lane early-stopped (stop_on_plateau): the remaining
+                # segments would be immediately-exiting while_loops, but each
+                # still costs a dispatch + a checkpoint rewrite — skip them
+                break
             end_chunk = min(end + checkpoint_every_chunks, num_chunks)
             carry = self._track_segment(
                 carry, oracle_params, jnp.int32(end_chunk), min_iterations,

@@ -21,7 +21,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.math import wrap_angle
+from ..ops.math import dense_path
 
 __all__ = [
     "TrackingCarry",
@@ -57,18 +57,9 @@ class TrackingCarry(NamedTuple):
     chunk: jnp.ndarray  # int32: chunks completed so far
 
 
-def _dense_path(full_path: jnp.ndarray, samples_per_segment: int) -> jnp.ndarray:
-    """[M, d] -> [(M-1)*S + 1, d] dense samples; xy lerp + shortest-arc angle."""
-    a = full_path[:-1]  # [M-1, d]
-    b = full_path[1:]
-    fractions = jnp.arange(samples_per_segment, dtype=full_path.dtype) / samples_per_segment
-    delta = b - a
-    if full_path.shape[1] == 3:
-        delta = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
-    # [M-1, S, d]
-    dense = a[:, None, :] + fractions[None, :, None] * delta[:, None, :]
-    dense = dense.reshape(-1, full_path.shape[1])
-    return jnp.concatenate([dense, full_path[-1:]], axis=0)
+# shared with ops/shortcut.py so the evaluator and the shortcut accept-check
+# can never drift apart
+_dense_path = dense_path
 
 
 def evaluate_path(

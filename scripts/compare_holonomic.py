@@ -32,7 +32,6 @@ import json
 import pathlib
 import sys
 import time
-import types
 
 import numpy as np
 
@@ -125,8 +124,11 @@ def ours_run(seeds, iterations: int, cpu: bool):
         lambda x: jnp.tile(x[None], (len(seeds),) + (1,) * x.ndim), oracle
     )
     run = jax.jit(jax.vmap(lambda s, o: solver.run(s, o, iterations)))
+    # compile ahead of the timed call so wall_s_batched measures the solve,
+    # not XLA compilation (the reference side times only its step loop)
+    compiled = run.lower(states, oracles).compile()
     t0 = time.time()
-    final_states, _ = jax.block_until_ready(run(states, oracles))
+    final_states, _ = jax.block_until_ready(compiled(states, oracles))
     elapsed = time.time() - t0
     paths = np.asarray(jax.vmap(solver.full_trajectory)(final_states))
 
@@ -168,7 +170,7 @@ def ours_run(seeds, iterations: int, cpu: bool):
         restart_feasible[idx[ok]] = True
         restarts_used[idx] = r
     return (paths, elapsed, tracked_paths, tracked_feasible,
-            restart_paths, restart_feasible)
+            restart_paths, restart_feasible, restarts_used)
 
 
 def make_oracle():
@@ -216,7 +218,7 @@ def main():
     seeds = list(range(args.seeds))
 
     (ours_paths, ours_time, tracked_paths, _, restart_paths,
-     restart_feasible) = ours_run(seeds, args.iterations, args.cpu)
+     restart_feasible, restarts_used) = ours_run(seeds, args.iterations, args.cpu)
     ours_feasible, ours_lengths = evaluate(ours_paths)
     ours_mean = float(ours_lengths[ours_feasible].mean()) if ours_feasible.any() else None
     print(f"ours:      feasible {ours_feasible.sum()}/{len(seeds)}, "
@@ -250,6 +252,9 @@ def main():
             "feasible": int(rst_feasible.sum()),
             "mean_feasible_length": rst_mean,
             "max_restarts": 4,
+            # per-seed count of fresh-stream restarts attempted (0 = first
+            # try was feasible; a seed's last attempt may still have failed)
+            "restarts_used": restarts_used.tolist(),
         },
     }
 

@@ -190,8 +190,6 @@ def _reference_parameters(suite: str = "corridor"):
     (run_bench_mr.py:20-67 layout + AstarTrajectoryInitializer). For the
     movingai suite both sides get the same measured 256x256 overrides
     (run_benchmark.movingai_overrides: tl=150, sigma=2.5, cw=500, cdw=300)."""
-    from pytorch_lightning.utilities import AttributeDict
-
     p = _reference_base_parameters()
     if suite == "movingai":
         p.trajectory_length = 150

@@ -151,7 +151,9 @@ def main() -> int:
         center = obstacle_center(t_sim)
         clear = float(np.linalg.norm(pose[:2] - center)) - OBST_R
         clearances.append(clear)
-        collided |= clear < 0.0
+        # the robot is a disc of radius ROBOT_CLEAR (the planner's circle
+        # checker), not a point: bodies touch when center distance < sum of radii
+        collided |= clear < ROBOT_CLEAR
         trace.append(pose.copy())
         obst_trace.append(center.copy())
         paths.append(np.asarray(path))
@@ -172,8 +174,11 @@ def main() -> int:
         "planning_budget_ms": args.budget * 1e3,
         "robot_speed": args.robot_speed,
         "note": "clearance = dist(robot center, disc center) - disc radius; "
-                "host cycle times include CPU-process overheads — the "
-                "hardware-true per-cycle cost is REPLAN_r03.json",
+                "collided = clearance < robot radius (0.3, the planner's "
+                "circle-checker footprint); host cycle times include "
+                "CPU-process overheads — the hardware-true per-cycle cost is "
+                "REPLAN_r03.json",
+        "robot_radius": ROBOT_CLEAR,
     }
     pathlib.Path(args.out).write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result, indent=1))

@@ -101,9 +101,13 @@ def main() -> int:
         total_cycles = g * c
 
         def timed_session(run_fn, warm_args, timed_args):
-            run_fn(*warm_args)  # compile + warm (different inputs than timed)
-            # sync: block_until_ready is unreliable through the tunnel —
-            # force a scalar host fetch (CLAUDE.md timing caveats)
+            # compile + warm (different inputs than timed, so tunnel replay
+            # caching can't fake the timed run)
+            _, warm_aux = run_fn(*warm_args)
+            # drain the warm session BEFORE starting the clock; sync via a
+            # scalar host fetch — block_until_ready is unreliable through the
+            # tunnel (CLAUDE.md timing caveats)
+            float(jnp.sum(warm_aux.path_length))
             t0 = _time.perf_counter()
             out, aux = run_fn(*timed_args)
             float(jnp.sum(aux.path_length))

@@ -56,11 +56,30 @@ def test_shortcut_respects_obstacle():
 
 
 def test_infeasible_path_is_noop():
+    # the whole path runs along the colliding line, so every chord between
+    # path points also collides: nothing can be accepted
     oracle = _oracle([[5.0, 1.0]])
     t = np.linspace(0.0, 1.0, 20, dtype=np.float32)
     bad = jnp.asarray(np.stack([1 + 8 * t, np.full_like(t, 1.0)], axis=1))
     out = shortcut_path(circle_collision, oracle, bad, jax.random.PRNGKey(2), 32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(bad))
+
+
+def test_infeasible_path_can_be_repaired():
+    # a clear path with a mid-span dip into the obstacle: a chord spanning
+    # the dip is collision-free, so shortcutting REPAIRS the path to feasible
+    # (the documented caveat in shortcut_path; bench/runner.py counts these)
+    oracle = _oracle([[5.0, 1.0]])
+    m = 20
+    t = np.linspace(0.0, 1.0, m, dtype=np.float32)
+    y = np.full(m, 3.0, np.float32)
+    y[8:12] = 1.0  # dip through the disc at (5, 1)
+    bad = jnp.asarray(np.stack([1 + 8 * t, y], axis=1))
+    collides0, _ = evaluate_path(circle_collision, oracle, bad, 5)
+    assert bool(collides0)
+    out = shortcut_path(circle_collision, oracle, bad, jax.random.PRNGKey(4), 128)
+    collides1, _ = evaluate_path(circle_collision, oracle, out, 5)
+    assert not bool(collides1)
 
 
 def test_se2_angles_lerped_shortest_arc():
