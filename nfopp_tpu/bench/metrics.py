@@ -15,7 +15,19 @@ import numpy as np
 from ..utils.host_math import wrap_angles
 from . import native_binding
 
-__all__ = ["PathStatistics", "path_statistics", "path_stats_numpy"]
+__all__ = [
+    "PathStatistics",
+    "active_evaluator",
+    "path_statistics",
+    "path_stats_numpy",
+]
+
+
+def active_evaluator() -> str:
+    """Which implementation `path_statistics` will use: 'native' (C++ .so,
+    built on demand) or 'numpy' (fallback twin). Recorded into every results
+    JSON so committed artifacts carry their metric provenance."""
+    return "native" if native_binding.available() else "numpy"
 
 
 @dataclass

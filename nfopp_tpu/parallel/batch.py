@@ -268,10 +268,12 @@ class BatchPlanner:
             carry = jax.device_put(carry, self._sharding)
         start_chunk = int(np.max(np.asarray(carry.chunk)))
         for end in range(start_chunk, num_chunks, checkpoint_every_chunks):
-            if bool(np.all(np.asarray(carry.done))):
-                # every lane early-stopped (stop_on_plateau): the remaining
-                # segments would be immediately-exiting while_loops, but each
-                # still costs a dispatch + a checkpoint rewrite — skip them
+            # every lane early-stopped (stop_on_plateau): the remaining
+            # segments would be immediately-exiting while_loops, but each
+            # still costs a dispatch + a checkpoint rewrite — skip them.
+            # Without plateau-stop `done` can never become True, so don't pay
+            # the per-segment host sync for the probe at all.
+            if stop_on_plateau and bool(np.all(np.asarray(carry.done))):
                 break
             end_chunk = min(end + checkpoint_every_chunks, num_chunks)
             carry = self._track_segment(

@@ -65,6 +65,16 @@ class TestNumpyMetrics:
         assert np.isfinite(raw).all()
 
 
+def test_native_evaluator_loads_here():
+    """The bench/suite environment must use the native evaluator: this image
+    ships g++, so a numpy fallback would mean the .so build silently broke —
+    committed artifacts would carry evaluator='numpy' (VERDICT r3 weak #5)."""
+    from nfopp_tpu.bench.metrics import active_evaluator
+
+    assert native_binding.available(), "native path-stats library failed to build"
+    assert active_evaluator() == "native"
+
+
 @pytest.mark.skipif(not native_binding.available(), reason="no C++ toolchain")
 class TestNativeParity:
     def test_matches_numpy_on_random_paths(self):

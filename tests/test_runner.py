@@ -123,6 +123,31 @@ class TestRestartFailed:
         assert bool(result.feasible[0])
         assert not bool(result.feasible[1])
 
+    def test_multi_round_restarts_stop_at_budget(self):
+        """restart_rounds > 1 on an unsolvable problem: every round runs (the
+        sealed box can never become feasible), rounds_used is recorded, and
+        the feasible problem is untouched."""
+        scenarios = [wall_scenario(), boxed_scenario()]
+        result = run_grid_suite(
+            scenarios, small_parameters(), max_iterations=100,
+            min_iterations=50, check_freq=25, restart_failed=2,
+            restart_rounds=2, mesh=problem_mesh(jax.devices()[:2]),
+        )
+        assert bool(result.feasible[0])
+        assert not bool(result.feasible[1])
+        assert result.restart_rounds_used == 2
+        assert result.log.settings["suite"]["restart_rounds_used"] == 2
+
+    def test_rounds_used_zero_when_all_feasible(self):
+        scenarios = [wall_scenario(), wall_scenario()]
+        result = run_grid_suite(
+            scenarios, small_parameters(), max_iterations=200,
+            min_iterations=50, check_freq=25, restart_failed=4,
+            restart_rounds=3, mesh=problem_mesh(jax.devices()[:2]),
+        )
+        assert result.feasible.all()
+        assert result.restart_rounds_used == 0
+
     def test_restart_noop_when_all_feasible(self):
         """When the base solve already succeeds, restart_failed must change
         nothing (the recovery path itself is covered by the measured forest
@@ -160,6 +185,21 @@ class TestShortcutTrials:
         # logged stats reflect the shortcut paths
         stats = short.log.runs[0]["plans"]["constrained_onf_planner"]["stats"]
         assert abs(stats["path_length"] - float(short.lengths[0])) < 1e-3
+
+    def test_repair_and_evaluator_provenance_recorded(self, suite_result, mesh2):
+        """Suite artifacts must say which evaluator produced the stats and how
+        many problems the shortcut pass rescued (ADVICE r3: feasibility parity
+        claims stay attributable)."""
+        scenarios, _ = suite_result
+        short = run_grid_suite(
+            scenarios, small_parameters(), max_iterations=200,
+            min_iterations=50, check_freq=25, mesh=mesh2, shortcut_trials=8,
+        )
+        assert short.log.settings["evaluator"] in ("native", "numpy")
+        suite = short.log.settings["suite"]
+        assert suite["shortcut_trials"] == 8
+        # both wall problems solve outright, so nothing was chord-repaired
+        assert suite["repaired_by_shortcut"] == short.repaired_by_shortcut == 0
 
     def test_shortcut_noop_on_infeasible(self):
         scenarios = [wall_scenario(), boxed_scenario()]
