@@ -2,7 +2,14 @@
 schema, suite runner, experiment analysis."""
 
 from .adapter import BenchmarkAdapter, BenchmarkCollisionChecker  # noqa: F401
-from .metrics import PathStatistics, path_statistics, path_stats_numpy  # noqa: F401
+from .metrics import (  # noqa: F401
+    PathStatistics,
+    active_evaluator,
+    path_statistics,
+    path_stats_numpy,
+    polygons_to_segments,
+    segment_clearance_numpy,
+)
 from .results import (  # noqa: F401
     ResultsLog,
     decode_grid_rle,

@@ -20,7 +20,36 @@ __all__ = [
     "active_evaluator",
     "path_statistics",
     "path_stats_numpy",
+    "polygons_to_segments",
+    "segment_clearance_numpy",
 ]
+
+
+def polygons_to_segments(polygons: list[np.ndarray]) -> np.ndarray:
+    """[K_i, 2] vertex loops -> [S, 4] closed-edge rows (x0, y0, x1, y1),
+    the exact-geometry obstacle representation for clearance metrics."""
+    rows = []
+    for poly in polygons:
+        poly = np.asarray(poly, np.float64)
+        nxt = np.roll(poly, -1, axis=0)
+        rows.append(np.concatenate([poly, nxt], axis=1))
+    return np.concatenate(rows, axis=0) if rows else np.zeros((0, 4))
+
+
+def segment_clearance_numpy(path: np.ndarray, segments: np.ndarray) -> np.ndarray:
+    """numpy twin of the native segment-clearance: [4] = mean, median, min,
+    max of per-waypoint exact min distance to any segment."""
+    if len(path) < 1 or segments is None or len(segments) < 1:
+        return np.full(4, -1.0)
+    xy = np.asarray(path, np.float64)[:, :2]
+    seg = np.asarray(segments, np.float64)
+    a, d = seg[:, :2], seg[:, 2:] - seg[:, :2]
+    denom = np.maximum((d * d).sum(axis=1), 1e-30)
+    w = xy[:, None, :] - a[None]  # [N, S, 2]
+    t = np.clip((w * d[None]).sum(axis=2) / denom[None], 0.0, 1.0)
+    closest = a[None] + t[..., None] * d[None]
+    dist = np.linalg.norm(xy[:, None, :] - closest, axis=2).min(axis=1)
+    return np.array([dist.mean(), np.median(dist), dist.min(), dist.max()])
 
 
 def active_evaluator() -> str:
@@ -152,15 +181,27 @@ def path_statistics(
     angular_weight: float = 1.0,
     cusp_threshold: float = np.pi / 2,
     use_native: bool = True,
+    obstacle_segments: np.ndarray | None = None,
 ) -> PathStatistics:
-    """Full PathStatistics for one [N, 3] path."""
+    """Full PathStatistics for one [N, 3] path.
+
+    obstacle_segments [S, 4] (rows x0, y0, x1, y1) switches the clearance
+    stats to EXACT distances against polygon edges (the reference's clearance
+    is vs the true environment, BenchmarkAdapter.cpp:106-135), overriding any
+    point-cloud `obstacles` clearance."""
     path = np.asarray(path, np.float64)
     if len(path) < 2:
         return PathStatistics(planner=planner, path_found=False, planning_time=planning_time)
     if use_native and native_binding.available():
         raw = native_binding.path_stats_native(path, obstacles, angular_weight, cusp_threshold)
+        if obstacle_segments is not None and len(obstacle_segments):
+            raw[6:10] = native_binding.path_clearance_segments_native(
+                path, obstacle_segments
+            )
     else:
         raw = path_stats_numpy(path, obstacles, angular_weight, cusp_threshold)
+        if obstacle_segments is not None and len(obstacle_segments):
+            raw[6:10] = segment_clearance_numpy(path, obstacle_segments)
     stats = PathStatistics(
         planner=planner,
         path_found=True,

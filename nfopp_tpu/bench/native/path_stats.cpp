@@ -182,6 +182,47 @@ void nfopp_path_stats(const double* path, int64_t n, const double* obstacles,
     }
 }
 
+// EXACT clearance vs polygon edges (the reference's clearance is measured
+// against the true polygon environment, BenchmarkAdapter.cpp:106-135 — not a
+// rasterization). segments: [s][4] rows (x0, y0, x1, y1). Writes
+// out[4] = mean, median, min, max of the per-waypoint min distance to any
+// segment. s == 0 writes -1s.
+void nfopp_path_clearance_segments(const double* path, int64_t n,
+                                   const double* segments, int64_t s,
+                                   double* out) {
+    if (n < 1 || segments == nullptr || s < 1) {
+        out[0] = out[1] = out[2] = out[3] = -1.0;
+        return;
+    }
+    std::vector<double> clearing(n);
+    for (int64_t i = 0; i < n; ++i) {
+        const double px = path[3 * i], py = path[3 * i + 1];
+        double best = 1e300;
+        for (int64_t j = 0; j < s; ++j) {
+            const double x0 = segments[4 * j], y0 = segments[4 * j + 1];
+            const double dx = segments[4 * j + 2] - x0;
+            const double dy = segments[4 * j + 3] - y0;
+            const double denom = dx * dx + dy * dy;
+            double t = denom > 1e-30 ? ((px - x0) * dx + (py - y0) * dy) / denom
+                                     : 0.0;
+            t = std::max(0.0, std::min(1.0, t));
+            const double cx = x0 + t * dx - px;
+            const double cy = y0 + t * dy - py;
+            best = std::min(best, cx * cx + cy * cy);
+        }
+        clearing[i] = std::sqrt(best);
+    }
+    double sum = 0.0;
+    for (double c : clearing) sum += c;
+    out[0] = sum / static_cast<double>(n);
+    std::vector<double> sorted = clearing;
+    std::sort(sorted.begin(), sorted.end());
+    out[1] = (n % 2 == 1) ? sorted[n / 2]
+                          : 0.5 * (sorted[n / 2 - 1] + sorted[n / 2]);
+    out[2] = sorted.front();
+    out[3] = sorted.back();
+}
+
 // Batched evaluation: paths [batch][n][3] -> out [batch][12].
 void nfopp_path_stats_batch(const double* paths, int64_t batch, int64_t n,
                             const double* obstacles, int64_t m,

@@ -12,7 +12,12 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "path_stats_native", "path_stats_batch_native"]
+__all__ = [
+    "available",
+    "path_stats_native",
+    "path_stats_batch_native",
+    "path_clearance_segments_native",
+]
 
 _NATIVE_DIR = pathlib.Path(__file__).parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libpath_stats.so"
@@ -24,27 +29,33 @@ def _load():
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(
-                ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
-            )
-        except (subprocess.CalledProcessError, FileNotFoundError):
+    # always run make: a no-op when the .so is newer than path_stats.cpp,
+    # a rebuild when a stale library predates newly added entry points
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        if not _LIB_PATH.exists():
             _build_failed = True
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
-    except OSError:
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.nfopp_path_stats.argtypes = [
+            dp, ctypes.c_int64, dp, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_double, dp,
+        ]
+        lib.nfopp_path_stats_batch.argtypes = [
+            dp, ctypes.c_int64, ctypes.c_int64, dp, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, dp,
+        ]
+        lib.nfopp_path_clearance_segments.argtypes = [
+            dp, ctypes.c_int64, dp, ctypes.c_int64, dp,
+        ]
+    except (OSError, AttributeError):
         _build_failed = True
         return None
-    dp = ctypes.POINTER(ctypes.c_double)
-    lib.nfopp_path_stats.argtypes = [
-        dp, ctypes.c_int64, dp, ctypes.c_int64, ctypes.c_double, ctypes.c_double, dp
-    ]
-    lib.nfopp_path_stats_batch.argtypes = [
-        dp, ctypes.c_int64, ctypes.c_int64, dp, ctypes.c_int64,
-        ctypes.c_double, ctypes.c_double, dp,
-    ]
     _lib = lib
     return _lib
 
@@ -76,6 +87,23 @@ def path_stats_native(
         obs_ptr, m = None, 0
     lib.nfopp_path_stats(
         _as_c(path), len(path), obs_ptr, m, angular_weight, cusp_threshold, _as_c(out)
+    )
+    return out
+
+
+def path_clearance_segments_native(
+    path: np.ndarray, segments: np.ndarray
+) -> np.ndarray:
+    """[N, 3] path, [S, 4] segment rows (x0, y0, x1, y1) -> [4] clearance
+    stats (mean, median, min, max) measured EXACTLY against the segments."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native metrics library unavailable")
+    path = np.ascontiguousarray(path, np.float64)
+    segments = np.ascontiguousarray(segments, np.float64)
+    out = np.zeros(4, np.float64)
+    lib.nfopp_path_clearance_segments(
+        _as_c(path), len(path), _as_c(segments), len(segments), _as_c(out)
     )
     return out
 

@@ -94,6 +94,9 @@ def run_grid_suite(
     shortcut_trials: int = 0,
     restart_rounds: int = 1,
     require_native_evaluator: bool = False,
+    solve_oracles=None,
+    oracle_fn=None,
+    obstacle_segments: list | None = None,
 ) -> SuiteResult:
     """Solve every scenario in one batch; scenarios must share grid shape.
 
@@ -135,20 +138,30 @@ def run_grid_suite(
     if parameters is None:
         parameters = DEFAULT_PARAMETERS
     config = config_from_parameters(parameters)
-    solver = ConstrainedSolver(config, grid_collision)
+    # solve_oracles + oracle_fn override the rasterized grid oracle with
+    # EXACT geometry (e.g. worlds.oracle.PolygonOracle/polygon_collision —
+    # the reference's polygon worlds are checked exactly via OMPL state
+    # validity, BenchmarkAdapter.cpp:175-187). The wavefront initializer
+    # still seeds from the rasterized grid (a heuristic is allowed to be
+    # approximate); every solve/evaluation/shortcut check is exact.
+    oracle_fn = oracle_fn if oracle_fn is not None else grid_collision
+    solver = ConstrainedSolver(config, oracle_fn)
     planner = BatchPlanner(solver, mesh if mesh is not None else problem_mesh())
 
-    oracles_list = [s.oracle(footprint_radius) for s in scenarios]
-    oracles = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *oracles_list)
+    grid_oracles_list = [s.oracle(footprint_radius) for s in scenarios]
+    grid_oracles = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *grid_oracles_list
+    )
+    oracles = solve_oracles if solve_oracles is not None else grid_oracles
     starts = jnp.asarray(np.stack([s.start for s in scenarios]))
     goals = jnp.asarray(np.stack([s.goal for s in scenarios]))
     bounds = jnp.asarray(
         np.stack([np.asarray(s.bounds, np.float32) for s in scenarios])
     )
 
-    # start/goal validity precheck against the footprint-dilated oracles
+    # start/goal validity precheck against the solve oracles
     endpoint_check = jax.jit(
-        jax.vmap(lambda o, s, g: grid_collision(o, jnp.stack([s, g])))
+        jax.vmap(lambda o, s, g: oracle_fn(o, jnp.stack([s, g])))
     )(oracles, starts, goals)
     endpoint_check = np.asarray(endpoint_check)
     start_invalid, goal_invalid = endpoint_check[:, 0], endpoint_check[:, 1]
@@ -158,7 +171,7 @@ def run_grid_suite(
     if astar_init:
         from ..astar.initializer import batched_wavefront_trajectories
 
-        grids = oracles.occupancy  # footprint-dilated occupancy [B, H, W]
+        grids = grid_oracles.occupancy  # footprint-dilated occupancy [B, H, W]
         origins = jnp.asarray(
             np.stack([np.asarray(s.origin, np.float32) for s in scenarios])
         )
@@ -304,6 +317,9 @@ def run_grid_suite(
             planner=planner_name,
             planning_time=wall / len(scenarios),
             goal=np.asarray(goals[b]),
+            obstacle_segments=(
+                None if obstacle_segments is None else obstacle_segments[b]
+            ),
         )
         stats_list.append(stats)
         log.log_run(

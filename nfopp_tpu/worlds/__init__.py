@@ -3,11 +3,15 @@
 from .oracle import (  # noqa: F401
     CircleOracle,
     GridOracle,
+    PolygonOracle,
     RectangleOracle,
     boundary_collision,
     circle_collision,
     grid_collision,
     pad_obstacle_points,
+    pad_polygons,
+    polygon_clearance,
+    polygon_collision,
     rectangle_collision,
 )
 from .environments import (  # noqa: F401
@@ -29,4 +33,5 @@ from .scenarios import (  # noqa: F401
     random_forest,
     random_free_pose,
     warehouse,
+    warehouse_polygons,
 )

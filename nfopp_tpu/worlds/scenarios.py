@@ -25,6 +25,8 @@ __all__ = [
     "random_forest",
     "corridor",
     "polygon_world",
+    "warehouse",
+    "warehouse_polygons",
     "parse_movingai_map",
     "parse_movingai_scen",
     "dilate",
@@ -303,23 +305,15 @@ def polygon_world(
     )
 
 
-def warehouse(
+def warehouse_polygons(
     seed: int,
     width: float = 120.0,
     height: float = 80.0,
-    resolution: float = 0.5,
-) -> GridScenario:
-    """Warehouse shelving world built from polygonal obstacles — the bench-mr
-    polygon world class (the reference's only checked-in benchmark fixture:
-    'warehouse2.svg', BenchmarkAdapter.cpp:37-40,
-    test/test_benchmark/2022-01-14_17-19-42_config.json). The svg lives in a
-    non-vendored submodule, so this generates the same structure class at the
-    same scale (that config's start (7.5,-10) -> goal (116,-70) spans a
-    ~120x80 floor): parallel rack rows with randomized aisle widths, rack
-    segments split by cross-aisles, and freestanding pallet blocks — long
-    narrow corridors with junctions, rasterized through `polygon_world` (the
-    polygon path end-to-end, not a direct grid paint).
-    """
+) -> list[np.ndarray]:
+    """The warehouse world's TRUE polygon geometry ([K, 2] vertex loops) —
+    exposed so exact-geometry oracles (worlds.oracle.PolygonOracle) can check
+    against the real obstacles, not a rasterization (the reference's polygon
+    worlds are evaluated exactly, BenchmarkAdapter.cpp:175-187)."""
     rng = np.random.RandomState(seed)
     polys: list[np.ndarray] = []
     perimeter = 6.0  # free aisle along the walls
@@ -351,7 +345,28 @@ def warehouse(
             for s in shelves
         ):
             polys.append(pallet)
+    return polys
 
+
+def warehouse(
+    seed: int,
+    width: float = 120.0,
+    height: float = 80.0,
+    resolution: float = 0.5,
+) -> GridScenario:
+    """Warehouse shelving world built from polygonal obstacles — the bench-mr
+    polygon world class (the reference's only checked-in benchmark fixture:
+    'warehouse2.svg', BenchmarkAdapter.cpp:37-40,
+    test/test_benchmark/2022-01-14_17-19-42_config.json). The svg lives in a
+    non-vendored submodule, so this generates the same structure class at the
+    same scale (that config's start (7.5,-10) -> goal (116,-70) spans a
+    ~120x80 floor): parallel rack rows with randomized aisle widths, rack
+    segments split by cross-aisles, and freestanding pallet blocks — long
+    narrow corridors with junctions, rasterized through `polygon_world` (the
+    polygon path end-to-end, not a direct grid paint). The true geometry is
+    available via `warehouse_polygons(seed, ...)` for exact-oracle solves.
+    """
+    polys = warehouse_polygons(seed, width, height)
     scenario = polygon_world(polys, (0.0, width, 0.0, height), resolution)
     rng2 = np.random.RandomState(seed + 1)
     start = random_free_pose(rng2, scenario, clearance_cells=3)
