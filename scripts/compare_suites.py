@@ -114,7 +114,8 @@ def suite_parameters(suite: str):
 
 
 def ours_suite_run(scenarios, parameters, iterations: int,
-                   full_budget: bool = False, restart_failed: int = 0):
+                   full_budget: bool = False, restart_failed: int = 0,
+                   solve_oracles=None, oracle_fn=None):
     from nfopp_tpu.bench.runner import run_grid_suite
 
     t0 = time.time()
@@ -127,8 +128,110 @@ def ours_suite_run(scenarios, parameters, iterations: int,
         check_freq=50,
         stop_on_plateau=not full_budget,
         restart_failed=restart_failed,
+        solve_oracles=solve_oracles,
+        oracle_fn=oracle_fn,
     )
     return result.paths, time.time() - t0
+
+
+# ------------------------------------------------- exact polygon geometry
+
+
+def build_exact_oracles(seeds: int):
+    """Per-seed EXACT warehouse oracles (worlds.oracle.PolygonOracle), padded
+    to a common [P, K] shape so the suite batches, with the disc footprint as
+    exact edge-distance inflation (matching the grid side's dilation radius).
+    Returns (polygons per seed, batched oracle pytree, per-seed single oracles).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nfopp_tpu.worlds import PolygonOracle, pad_polygons, warehouse_polygons
+
+    poly_lists = [warehouse_polygons(s) for s in range(seeds)]
+    capacity = max(len(p) for p in poly_lists)
+    max_vertices = max(len(v) for polys in poly_lists for v in polys)
+    bounds = (0.0, 120.0, 0.0, 80.0)
+    singles = []
+    for polys in poly_lists:
+        vertices, mask = pad_polygons(polys, capacity, max_vertices)
+        singles.append(PolygonOracle(
+            jnp.asarray(vertices), jnp.asarray(mask),
+            jnp.float32(FOOTPRINT_RADIUS), jnp.asarray(bounds, jnp.float32),
+        ))
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *singles)
+    return poly_lists, batched, singles
+
+
+def _make_exact_polygon_checker(polygons, radius, bounds):
+    """Reference-interface checker against the TRUE polygons (numpy even-odd
+    + exact segment distance < footprint radius) — the host twin of
+    worlds.oracle.polygon_collision, so BOTH sides plan against identical
+    exact geometry (the reference's own polygon worlds are checked exactly,
+    BenchmarkAdapter.cpp:175-187)."""
+    sys.path.insert(0, REFERENCE_PATH)
+    _install_lightning_stub()
+    from neural_field_optimal_planner.collision_checker import CollisionChecker
+
+    from nfopp_tpu.bench import polygons_to_segments
+
+    segs = polygons_to_segments(polygons)
+    a, d = segs[:, :2], segs[:, 2:] - segs[:, :2]
+    denom = np.maximum((d * d).sum(axis=1), 1e-30)
+    loops = [np.asarray(p, np.float64) for p in polygons]
+    xmin, xmax, ymin, ymax = bounds
+
+    class ExactPolygonChecker(CollisionChecker):
+        def check_collision(self, test_positions):
+            if hasattr(test_positions, "translation"):
+                xy = np.asarray(test_positions.translation, np.float64)
+            else:
+                xy = np.asarray(test_positions, np.float64)[:, :2]
+            inside = np.zeros(len(xy), bool)
+            for poly in loops:
+                v0, v1 = poly, np.roll(poly, -1, axis=0)
+                straddles = (v0[None, :, 1] > xy[:, 1:2]) != (
+                    v1[None, :, 1] > xy[:, 1:2]
+                )
+                t = (xy[:, 1:2] - v0[None, :, 1]) / (
+                    v1[None, :, 1] - v0[None, :, 1] + 1e-30
+                )
+                crosses = straddles & (
+                    xy[:, 0:1] < v0[None, :, 0] + t * (v1[None, :, 0] - v0[None, :, 0])
+                )
+                inside ^= (crosses.sum(axis=1) % 2).astype(bool)
+            w = xy[:, None, :] - a[None]
+            tt = np.clip((w * d[None]).sum(axis=2) / denom[None], 0.0, 1.0)
+            closest = a[None] + tt[..., None] * d[None]
+            near = (
+                np.linalg.norm(xy[:, None, :] - closest, axis=2).min(axis=1)
+                < radius
+            )
+            oob = (
+                (xy[:, 0] < xmin) | (xy[:, 0] > xmax)
+                | (xy[:, 1] < ymin) | (xy[:, 1] > ymax)
+            )
+            return inside | near | oob
+
+    return ExactPolygonChecker(tuple(bounds))
+
+
+def make_exact_evaluator(oracle):
+    """Common exact metric closure: dense-path feasibility vs the TRUE
+    polygons + xy length."""
+    import jax.numpy as jnp
+
+    from nfopp_tpu.solver.tracking import evaluate_path
+    from nfopp_tpu.worlds import polygon_collision
+
+    def evaluator(path):
+        collides, length = evaluate_path(
+            polygon_collision, oracle,
+            jnp.asarray(np.asarray(path), jnp.float32), 5,
+        )
+        return bool(collides), float(length)
+
+    return evaluator
 
 
 # ---------------------------------------------------------- reference side
@@ -266,9 +369,10 @@ def _patch_reference_reparametrize():
 
 
 def reference_run(scenario, seed: int, iterations: int, evaluator,
-                  suite: str = "corridor"):
+                  suite: str = "corridor", checker=None):
     """One reference solve with the run_bench_mr.py tracking loop; returns
-    (final path [102, 3] or None on A* failure, seconds)."""
+    (final path [102, 3] or None on A* failure, seconds). `checker` overrides
+    the default dilated-grid checker (e.g. the exact polygon checker)."""
     sys.path.insert(0, REFERENCE_PATH)
     _install_lightning_stub()
     import torch
@@ -280,10 +384,11 @@ def reference_run(scenario, seed: int, iterations: int, evaluator,
 
     _patch_reference_reparametrize()
 
-    checker = _make_grid_checker(
-        dilated_blocked(scenario), scenario.origin, scenario.resolution,
-        scenario.bounds,
-    )
+    if checker is None:
+        checker = _make_grid_checker(
+            dilated_blocked(scenario), scenario.origin, scenario.resolution,
+            scenario.bounds,
+        )
     planner = PlannerFactory.make_constrained_onf_planner(
         checker, _reference_parameters(suite)
     )
@@ -359,10 +464,20 @@ def main():
                         help="ours side: portfolio fallback restarts for "
                         "infeasible problems (reported separately — changes "
                         "the comparison from single-solve parity)")
+    parser.add_argument("--exact", action="store_true",
+                        help="warehouse only: BOTH sides plan and are "
+                        "evaluated against the TRUE polygon geometry "
+                        "(worlds.oracle.PolygonOracle / its numpy twin) "
+                        "instead of the rasterized grid, with the footprint "
+                        "as exact edge-distance inflation; also reports the "
+                        "rasterized-vs-exact feasibility delta")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--skip-reference", action="store_true")
     parser.add_argument("--json-out", default=None)
     args = parser.parse_args()
+    if args.exact and args.suite != "warehouse":
+        parser.error("--exact is only meaningful for the polygon "
+                     "(warehouse) suite")
 
     if args.cpu:
         # BEFORE any jnp array exists: the first device array would otherwise
@@ -373,11 +488,24 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     scenarios = build_scenarios(args.suite, args.seeds, args.min_geodesic)
-    evaluators = [make_evaluator(s) for s in scenarios]
+    grid_evaluators = [make_evaluator(s) for s in scenarios]
+    solve_oracles = oracle_fn = None
+    poly_lists = None
+    if args.exact:
+        from nfopp_tpu.worlds import polygon_collision
+
+        poly_lists, solve_oracles, single_oracles = build_exact_oracles(
+            args.seeds
+        )
+        oracle_fn = polygon_collision
+        evaluators = [make_exact_evaluator(o) for o in single_oracles]
+    else:
+        evaluators = grid_evaluators
 
     ours_paths, ours_time = ours_suite_run(
         scenarios, suite_parameters(args.suite), args.iterations,
-        args.full_budget, args.restart_failed
+        args.full_budget, args.restart_failed,
+        solve_oracles=solve_oracles, oracle_fn=oracle_fn,
     )
     ours_eval = [ev(p) for ev, p in zip(evaluators, ours_paths)]
     ours_feasible = np.array([not c for c, _ in ours_eval])
@@ -403,13 +531,19 @@ def main():
             print(f"report written to {args.json_out}")
         return 0
 
-    ref_eval, ref_secs = [], 0.0
+    ref_eval, ref_paths, ref_secs = [], [], 0.0
     for k, (scenario, ev) in enumerate(zip(scenarios, evaluators)):
+        checker = None
+        if args.exact:
+            checker = _make_exact_polygon_checker(
+                poly_lists[k], FOOTPRINT_RADIUS, scenario.bounds
+            )
         path, collision, length, secs = reference_run(
-            scenario, k, args.iterations, ev, args.suite
+            scenario, k, args.iterations, ev, args.suite, checker=checker
         )
         ref_secs += secs
         ref_eval.append((collision, length))
+        ref_paths.append(path)
         status = "init-failed" if path is None else (
             "COLLIDES" if collision else "feasible")
         print(f"  reference problem {k}: {status} ({secs:.1f}s)")
@@ -421,6 +555,7 @@ def main():
     both = ours_feasible & ref_feasible
     report = {
         "suite": args.suite,
+        "exact_geometry": bool(args.exact),
         "seeds": args.seeds,
         "iterations": args.iterations,
         "min_geodesic": args.min_geodesic,
@@ -443,6 +578,30 @@ def main():
         report["cost_ratio_both_feasible"] = round(float(ratio), 4)
         print(f"cost ratio over {both.sum()} both-feasible problems "
               f"(ours/reference): {ratio:.4f} ({(ratio - 1) * 100:+.2f}%)")
+    if args.exact:
+        # rasterized-vs-exact feasibility delta: the same paths re-checked
+        # against the footprint-dilated grid — quantifies what rasterization
+        # would have gotten wrong (conservative blocks AND missed corners)
+        ours_grid_feas = np.array(
+            [not ev(p)[0] for ev, p in zip(grid_evaluators, ours_paths)]
+        )
+        ref_grid_feas = np.array([
+            (p is not None) and (not ev(p)[0])
+            for ev, p in zip(grid_evaluators, ref_paths)
+        ])
+        report["delta_rasterized"] = {
+            "ours_feasible_exact": int(ours_feasible.sum()),
+            "ours_feasible_rasterized": int(ours_grid_feas.sum()),
+            "ours_disagreements": int((ours_feasible != ours_grid_feas).sum()),
+            "ref_feasible_exact": int(ref_feasible.sum()),
+            "ref_feasible_rasterized": int(ref_grid_feas.sum()),
+            "ref_disagreements": int((ref_feasible != ref_grid_feas).sum()),
+        }
+        print(f"rasterized-vs-exact delta: ours exact "
+              f"{int(ours_feasible.sum())} vs rasterized "
+              f"{int(ours_grid_feas.sum())}; reference exact "
+              f"{int(ref_feasible.sum())} vs rasterized "
+              f"{int(ref_grid_feas.sum())}")
     if args.json_out:
         pathlib.Path(args.json_out).write_text(json.dumps(report, indent=1))
         print(f"report written to {args.json_out}")
