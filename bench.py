@@ -97,6 +97,13 @@ def main() -> None:
                              "extra seed bases (reusing the compiled "
                              "executable) and report the feasible-fraction "
                              "distribution — pins the expected floor")
+    parser.add_argument("--no-aot", action="store_true",
+                        help="disable the AOT executable path. Default: try "
+                             "to deserialize a previously saved compiled "
+                             "executable (.jax_cache/aot/) and run WITHOUT "
+                             "touching the erratic remote compile service; "
+                             "after any successful compile the executable is "
+                             "saved for the next run (utils/aot.py)")
     parser.add_argument("--feasibility-floor", type=float, default=0.98,
                         help="fail the bench if the default-config feasible "
                              "fraction lands below this (regression guard; "
@@ -190,11 +197,36 @@ def main() -> None:
         and not (args.fused or args.jacobi or args.merged)
         and args.outer_unroll > 1
     )
+    use_aot = not args.no_aot and not args.multi and not (
+        args.fused or args.jacobi or args.merged
+    )
+    aot_run_key = None
+    aot_loaded = False
+    if use_aot:
+        from nfopp_tpu.utils.aot import aot_key, save_aot, try_load_aot
+
+        aot_run_key = aot_key("bench-run", config, batch, chunk)
+        t_aot = time.time()
+        loaded = try_load_aot(aot_run_key)
+        if loaded is not None:
+            log(f"AOT executable loaded in {time.time() - t_aot:.1f}s — "
+                "compile service bypassed for the solve loop")
+            run = loaded
+            adaptive = False
+            aot_loaded = True
     background_compile = None
     if args.multi:
         run = jax.jit(lambda s, o: solver.run_batch(s, o, chunk, args.multi))
+    elif aot_loaded:
+        pass
     elif not adaptive:
         run = make_run(solver)
+        if use_aot:
+            t0 = time.time()
+            run = run.lower(states, oracles).compile()
+            log(f"compile: {time.time() - t0:.1f}s")
+            if save_aot(run, aot_run_key):
+                log("AOT executable saved for the next run")
     else:
         # Adaptive start: the outer-unroll-2 default is the fastest step
         # (13.07 vs 13.16 µs) but its compile is hostage to the erratic
@@ -210,11 +242,26 @@ def main() -> None:
             config._replace(outer_scan_unroll=1), rectangle_collision
         )
         run_fast = make_run(solver_fast)
-        t0 = time.time()
-        run = run_fast.lower(states, oracles).compile()
-        probe_s = time.time() - t0
-        log(f"probe compile (outer-unroll 1): {probe_s:.1f}s")
-        service_healthy = probe_s <= args.cold_compile_threshold
+        probe_key = None
+        run = None
+        if use_aot:
+            probe_key = aot_key(
+                "bench-run", solver_fast.config, batch, chunk
+            )
+            t0 = time.time()
+            run = try_load_aot(probe_key)
+            if run is not None:
+                log(f"AOT probe executable loaded in {time.time() - t0:.1f}s "
+                    "(outer-unroll 1) — probe compile bypassed")
+                probe_s, service_healthy = 0.0, True
+        if run is None:
+            t0 = time.time()
+            run = run_fast.lower(states, oracles).compile()
+            probe_s = time.time() - t0
+            log(f"probe compile (outer-unroll 1): {probe_s:.1f}s")
+            service_healthy = probe_s <= args.cold_compile_threshold
+            if use_aot and save_aot(run, probe_key):
+                log("AOT probe executable saved")
 
         box: dict = {}
 
@@ -240,6 +287,8 @@ def main() -> None:
                 f"{box['secs']:.1f}s")
             run = box["compiled"]
             background_compile = None
+            if use_aot and save_aot(run, aot_run_key):
+                log("AOT executable saved for the next run")
         else:
             log(f"benching at outer-unroll 1 (+0.8% step cost) while the "
                 f"full-unroll program compiles in the background "
@@ -327,6 +376,8 @@ def main() -> None:
             log(f"full compile (outer-unroll {args.outer_unroll}): "
                 f"{background_box['secs']:.1f}s — re-timing on it")
             run2 = background_box["compiled"]
+            if use_aot and save_aot(run2, aot_run_key):
+                log("AOT executable saved for the next run")
             w, _ = run2(states, oracles)
             jax.block_until_ready(w)  # warmup dispatch
             t1 = time.time()
@@ -376,6 +427,7 @@ def main() -> None:
         "feasible_fraction": round(feasible_frac, 3),
         "p50_batched_step_ms": round(p50_ms, 3),
         "outer_unroll": benched_outer_unroll,
+        "aot_loaded": aot_loaded,
         "device": str(device),
     }
     default_config = not (args.fused or args.jacobi or args.merged or args.multi
