@@ -28,7 +28,14 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SessionAux", "replan_session", "fleet_replan_session"]
+__all__ = [
+    "SessionAux",
+    "DynamicSessionAux",
+    "advance_along_path",
+    "dynamic_replan_session",
+    "replan_session",
+    "fleet_replan_session",
+]
 
 
 class SessionAux(NamedTuple):
@@ -51,6 +58,84 @@ def _check_steps(solver, steps_per_cycle: int) -> None:
 def _xy_length(path: jnp.ndarray) -> jnp.ndarray:
     seg = path[1:, :2] - path[:-1, :2]
     return jnp.sum(jnp.sqrt(jnp.sum(seg * seg, axis=-1)))
+
+
+class DynamicSessionAux(NamedTuple):
+    """Per-cycle traces of a dynamic-obstacle session, stacked [cycles, ...]."""
+
+    pose: jnp.ndarray  # executed robot pose after each cycle [C, d]
+    reached: jnp.ndarray  # bool: within goal tolerance after this cycle
+    path_length: jnp.ndarray  # xy length of the fresh plan
+    plan: jnp.ndarray  # the fresh plan itself [C, N+2, d] (for offline checks)
+
+
+def advance_along_path(path: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """Device twin of the demo's robot model (scripts/dynamic_replan_demo.py
+    advance_along_path): move `dist` along the plan polyline from its first
+    vertex (the robot's own pose — update_start pinned it last cycle), clamped
+    at the path end; heading from the entered segment's endpoint."""
+    xy = path[:, :2]
+    seg = jnp.linalg.norm(xy[1:] - xy[:-1], axis=1)
+    cum = jnp.concatenate([jnp.zeros(1, seg.dtype), jnp.cumsum(seg)])
+    dist = jnp.minimum(dist, cum[-1])
+    j = jnp.clip(jnp.searchsorted(cum, dist, side="right"), 1, len(cum) - 1)
+    t = (dist - cum[j - 1]) / jnp.maximum(seg[j - 1], 1e-9)
+    t = jnp.clip(t, 0.0, 1.0)
+    p = xy[j - 1] + t * (xy[j] - xy[j - 1])
+    if path.shape[1] == 3:
+        return jnp.asarray([p[0], p[1], path[j, 2]], path.dtype)
+    return p
+
+
+def dynamic_replan_session(
+    solver,
+    state: Any,
+    oracle_builder,
+    oracle_xs: Any,
+    goal: jnp.ndarray,
+    steps_per_cycle: int,
+    step_dist: float,
+    goal_tolerance: float = 0.2,
+) -> tuple[Any, DynamicSessionAux]:
+    """Closed-loop dynamic-obstacle session INSIDE one jitted program — the
+    device-true version of scripts/dynamic_replan_demo.py's host loop (the
+    reference's live-map replanning mode: 10 Hz timer + point-cloud merge,
+    ros/goal_planner_adapter.py:44-63 + collision_checker_adapter.py:17-27).
+
+    Per cycle c: the world changes (`oracle_builder(oracle_xs[c])` — e.g.
+    fresh sensor points of a moving disc, the scripted analog of the sensor
+    topic), the robot advances `step_dist` along its own fresh plan
+    (`advance_along_path`, frozen once within `goal_tolerance` of the goal),
+    `update_start` re-pins the trajectory, and a `steps_per_cycle`
+    optimization burst replans. The ONF field keeps un-learning the
+    obstacle's old positions through replay-buffer aging exactly as in the
+    host demo. Total device time / cycles = true per-cycle hardware latency;
+    the executed pose trace + per-cycle plans come back for offline
+    collision/clearance validation against the true moving obstacle.
+    """
+    _check_steps(solver, steps_per_cycle)
+    goal = jnp.asarray(goal, jnp.float32)
+
+    def cycle(carry, xs):
+        st, reached = carry
+        oracle_t = oracle_builder(xs)
+        path = solver.full_trajectory(st)
+        advanced = advance_along_path(path, jnp.float32(step_dist))
+        pose = jnp.where(reached, path[0], advanced)
+        reached = reached | (
+            jnp.linalg.norm(pose[:2] - goal[:2]) < goal_tolerance
+        )
+        st = solver.update_start(st, pose)
+        st, _ = solver.run(st, oracle_t, steps_per_cycle)
+        plan = solver.full_trajectory(st)
+        return (st, reached), DynamicSessionAux(
+            pose=pose, reached=reached, path_length=_xy_length(plan), plan=plan
+        )
+
+    (state, _), aux = jax.lax.scan(
+        cycle, (state, jnp.asarray(False)), oracle_xs
+    )
+    return state, aux
 
 
 def replan_session(

@@ -83,6 +83,124 @@ def advance_along_path(pose: np.ndarray, path: np.ndarray, dist: float) -> np.nd
     return np.array([p[0], p[1], theta], np.float32)
 
 
+def device_true_main(args) -> int:
+    """Closed loop ON THE CHIP: scripted obstacle motion as per-cycle oracle
+    points inside one jitted lax.scan (service.dynamic_replan_session). The
+    executed pose trace is validated offline against the TRUE moving disc;
+    per-cycle latency = session device time / cycles (one tunnel dispatch
+    amortized over a >=10 s session; warm-up drained first — CLAUDE.md)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from nfopp_tpu.service import dynamic_replan_session
+    from nfopp_tpu.solver import ConstrainedSolver, config_from_parameters
+    from nfopp_tpu.solver.api import DEFAULT_PARAMETERS
+    from nfopp_tpu.utils import Config, enable_tpu_compile_cache
+    from nfopp_tpu.worlds import CircleOracle, circle_collision
+
+    enable_tpu_compile_cache()
+    cycles = args.device_cycles
+    capacity = 32
+    base = obstacle_points(obstacle_center(0.0))
+    npts = len(base)
+    assert npts <= capacity
+    mask = np.zeros(capacity, bool)
+    mask[:npts] = True
+
+    def points_sequence(t_offset: float) -> np.ndarray:
+        seq = np.full((cycles, capacity, 2), 1e9, np.float32)
+        for c in range(cycles):
+            seq[c, :npts] = obstacle_points(
+                obstacle_center(t_offset + c * args.dt)
+            )
+        return seq
+
+    parameters = (
+        Config.from_dict(DEFAULT_PARAMETERS)
+        .update({"planner": {"init_collision_iteration": 100}})
+        .as_attribute_dict()
+    )
+    config = config_from_parameters(parameters)
+    solver = ConstrainedSolver(config, circle_collision)
+    bounds = jnp.asarray(BOUNDS, jnp.float32)
+    mask_j = jnp.asarray(mask)
+    radius = jnp.float32(ROBOT_CLEAR)
+
+    def builder(points_t):
+        return CircleOracle(points_t, mask_j, radius, bounds)
+
+    def make_state(seed: int, pts0: np.ndarray):
+        oracle0 = CircleOracle(jnp.asarray(pts0), mask_j, radius, bounds)
+        return jax.jit(
+            lambda k: solver.init_state(
+                k, jnp.asarray(START), jnp.asarray(GOAL), bounds, oracle0
+            )
+        )(jax.random.PRNGKey(seed))
+
+    step_dist = args.robot_speed * args.dt
+    session = jax.jit(
+        lambda st, xs: dynamic_replan_session(
+            solver, st, builder, xs, jnp.asarray(GOAL),
+            args.steps_per_cycle, step_dist,
+        )
+    )
+
+    xs_warm = jnp.asarray(points_sequence(1.7))  # phase-shifted warm script
+    xs = jnp.asarray(points_sequence(0.0))
+    _, warm_aux = session(make_state(1, np.asarray(xs_warm[0])), xs_warm)
+    float(jnp.sum(warm_aux.path_length))  # drain BEFORE the clock (CLAUDE.md)
+    t0 = _time.perf_counter()
+    _, aux = session(make_state(0, np.asarray(xs[0])), xs)
+    float(jnp.sum(aux.path_length))
+    wall = _time.perf_counter() - t0
+
+    poses = np.asarray(aux.pose)
+    reached_mask = np.asarray(aux.reached)
+    centers = np.stack(
+        [obstacle_center(c * args.dt) for c in range(cycles)]
+    )
+    # validate the executed trace against the TRUE disc until goal-reach
+    # (after reach the robot is frozen at the goal, far from the crossing)
+    active = ~reached_mask
+    clearance = np.linalg.norm(poses[:, :2] - centers, axis=1) - OBST_R
+    collided = bool((clearance[active] < ROBOT_CLEAR).any())
+    reached = bool(reached_mask[-1])
+    reach_cycle = int(np.argmax(reached_mask)) if reached else None
+    per_cycle_ms = wall / cycles * 1e3
+    budget_ms = args.budget * 1e3
+    result = {
+        "metric": "dynamic_replan_cycle_latency_device_true",
+        "scenario": "oscillating disc (r=0.35) crossing the route at x=2.5, "
+                    "bounds (0,5)x(0,3); whole closed loop in ONE jitted "
+                    "scan (per-cycle sensor points + pose tracking + "
+                    f"{args.steps_per_cycle}-step replan burst)",
+        "cycles": cycles,
+        "p50_ms": round(per_cycle_ms, 3),
+        "budget_ms": budget_ms,
+        "within_budget": bool(per_cycle_ms <= budget_ms),
+        "steps_per_cycle": args.steps_per_cycle,
+        "session_wall_s": round(wall, 2),
+        "reached_goal": reached,
+        "reach_cycle": reach_cycle,
+        "collided": collided,
+        "min_clearance_while_active": round(
+            float(clearance[active].min()), 4
+        ) if active.any() else None,
+        "robot_radius": ROBOT_CLEAR,
+        "note": "one jitted session; fixed-shape cycles => mean == p50. "
+                "clearance = dist(robot, disc center) - disc radius, "
+                "collided = clearance < robot radius while en route; the "
+                "robot freezes at the goal and the obstacle keeps moving "
+                "so every cycle does identical work for timing",
+        "device": str(jax.devices()[0]),
+    }
+    pathlib.Path(args.out).write_text(json.dumps(result, indent=2) + "\n")
+    print(json.dumps(result, indent=1))
+    return 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true")
@@ -93,12 +211,29 @@ def main() -> int:
                         help="per-cycle planning budget (s)")
     parser.add_argument("--out", default="artifacts/dynamic_replan.json")
     parser.add_argument("--png", default=None)
+    parser.add_argument("--device-true", action="store_true",
+                        help="run the WHOLE closed loop inside one jitted "
+                             "program (service.dynamic_replan_session): the "
+                             "obstacle script becomes per-cycle oracle points "
+                             "scanned on device, so per-cycle time is the "
+                             "true hardware latency (the host loop above "
+                             "measures tunnel/CPU overhead; CLAUDE.md)")
+    parser.add_argument("--device-cycles", type=int, default=5000,
+                        help="device-true: cycles per session (sized so the "
+                             "session spans >=10 s on-device and the single "
+                             "tunnel dispatch amortizes to <2-3%%)")
+    parser.add_argument("--steps-per-cycle", type=int, default=40,
+                        help="device-true: optimization steps per cycle "
+                             "(multiple of the reparam freq)")
     args = parser.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.device_true:
+        return device_true_main(args)
 
     from nfopp_tpu.service import ReplanningService, WorldState
     from nfopp_tpu.solver.api import DEFAULT_PARAMETERS, PlannerFactory
