@@ -53,16 +53,27 @@ def main() -> int:
                              "device time — tunnel-noise-free")
     parser.add_argument("--goals", type=int, default=8,
                         help="device-true: scripted goal changes per session")
-    parser.add_argument("--cycles-per-goal", type=int, default=625,
+    parser.add_argument("--cycles-per-goal", type=int, default=None,
                         help="device-true: replan cycles between goal changes "
-                             "(default sized so a single-robot session spans "
-                             ">=10 s on-device — the ONE tunnel dispatch in "
-                             "the timed window then amortizes to <2-3% "
-                             "instead of ~9% at the old 250)")
+                             "(default 625, sized so a single-robot session "
+                             "spans >=10 s on-device — the ONE tunnel "
+                             "dispatch in the timed window then amortizes to "
+                             "<2-3% instead of ~9% at the old 250; the fleet "
+                             "sweep auto-scales per size unless this is set)")
     parser.add_argument("--steps-per-cycle", type=int, default=40,
                         help="device-true: optimization steps per cycle (must "
                              "be a multiple of the reparam freq; 40 matches "
                              "the tunnel-bound run's measured steps/cycle)")
+    parser.add_argument("--fleet-sweep", default=None, metavar="SIZES",
+                        help="device-true fleet-scaling curve: comma list of "
+                             "fleet sizes (e.g. '1,8,32,64,128') — one shared "
+                             "map, one shared field per fleet; reports "
+                             "ms/cycle, robot-replans/s and steps fitting "
+                             "the budget per size (REPLAN_r04). Session "
+                             "lengths auto-scale so each spans >=20 s "
+                             "on-device (dispatch jitter <2%)")
+    parser.add_argument("--json-out", default=None,
+                        help="also write the result JSON to this path")
     args = parser.parse_args()
 
     import jax
@@ -93,7 +104,7 @@ def main() -> int:
     )
     solver = ConstrainedSolver(run_planner_config(), rectangle_collision)
 
-    if args.device_true:
+    if args.device_true or args.fleet_sweep:
         import time as _time
 
         from nfopp_tpu.service import fleet_replan_session, replan_session
@@ -101,7 +112,8 @@ def main() -> int:
         start = jnp.asarray(env.start, jnp.float32)
         goal = jnp.asarray(env.goal, jnp.float32)
         bounds = jnp.asarray(env.bounds, jnp.float32)
-        g, c, s = args.goals, args.cycles_per_goal, args.steps_per_cycle
+        g, s = args.goals, args.steps_per_cycle
+        c = args.cycles_per_goal if args.cycles_per_goal else 625
         total_cycles = g * c
 
         def timed_session(run_fn, warm_args, timed_args):
@@ -116,6 +128,92 @@ def main() -> int:
             out, aux = run_fn(*timed_args)
             float(jnp.sum(aux.path_length))
             return _time.perf_counter() - t0
+
+        def fleet_setup(r: int, cycles_per_goal: int):
+            """(compiled session fn, warm args, timed args) for an r-robot
+            fleet on one shared map with ONE shared field."""
+            keys_a = jax.random.split(jax.random.PRNGKey(1), r)
+            keys_b = jax.random.split(jax.random.PRNGKey(2), r)
+            mk = jax.jit(jax.vmap(
+                lambda k: solver.init_state(k, start, goal, bounds, oracle)
+            ))
+            states_a, states_b = mk(keys_a), mk(keys_b)
+            oracles = jax.tree_util.tree_map(
+                lambda x: jnp.tile(x[None], (r,) + (1,) * x.ndim), oracle
+            )
+            base = jnp.stack(
+                [goal if i % 2 == 0 else start for i in range(r)]
+            )
+            goals = jnp.stack(
+                [base if j % 2 == 0 else base[::-1] for j in range(g)]
+            )
+            fn = jax.jit(lambda st, o, gl: fleet_replan_session(
+                solver, st, o, gl, cycles_per_goal, s, group_size=r))
+            return fn, (states_a, oracles, goals), (states_b, oracles, goals)
+
+        if args.fleet_sweep:
+            # fleet-scaling curve: ms/cycle and robot-replans/s per size.
+            # cycles_per_goal auto-scales (predicted per-cycle ~2.2 ms +
+            # ~0.3 ms/extra robot, the measured r=1/r=8 line) so every
+            # session spans >=20 s on-device.
+            sizes = [int(x) for x in args.fleet_sweep.split(",")]
+            rows = []
+            for r in sizes:
+                pred_ms = 2.2 + 0.3 * max(0, r - 1)
+                cpg = args.cycles_per_goal or int(
+                    np.clip(round(20000.0 / pred_ms / g), 60, 625)
+                )
+                cycles_r = g * cpg
+                if r <= 1:
+                    mk1 = jax.jit(lambda k: solver.init_state(
+                        k, start, goal, bounds, oracle))
+                    sa, sb = mk1(jax.random.PRNGKey(1)), mk1(jax.random.PRNGKey(2))
+                    goals_1 = jnp.stack(
+                        [goal if j % 2 == 0 else start for j in range(g)]
+                    )
+                    fn = jax.jit(lambda st, o, gl: replan_session(
+                        solver, st, o, gl, cpg, s))
+                    wall = timed_session(
+                        fn, (sa, oracle, goals_1), (sb, oracle, goals_1)
+                    )
+                else:
+                    fn, warm_a, timed_a = fleet_setup(r, cpg)
+                    wall = timed_session(fn, warm_a, timed_a)
+                per_cycle_ms = wall / cycles_r * 1e3
+                per_step_us = wall / (cycles_r * s) * 1e6
+                row = {
+                    "robots": r,
+                    "p50_ms": round(per_cycle_ms, 3),
+                    "per_step_us": round(per_step_us, 2),
+                    "steps_fitting_budget": int(
+                        args.timeout / (per_step_us * 1e-6)
+                    ),
+                    "robot_replans_per_s": round(
+                        max(r, 1) / (per_cycle_ms * 1e-3), 1
+                    ),
+                    "cycles": cycles_r,
+                    "session_wall_s": round(wall, 2),
+                }
+                rows.append(row)
+                print(json.dumps(row), file=sys.stderr, flush=True)
+            result = {
+                "metric": "fleet_replan_scaling_device_true",
+                "budget_ms": args.timeout * 1e3,
+                "steps_per_cycle": s,
+                "mode": "one shared map, ONE shared occupancy field per "
+                        "fleet (run_grouped); robots alternate goal/start "
+                        "targets with a retarget every cycles/goals cycles",
+                "note": "one jitted session per size; fixed-shape cycles => "
+                        "mean == p50; warm session uses different states and "
+                        "is drained before the clock (CLAUDE.md)",
+                "sizes": rows,
+                "device": str(jax.devices()[0]),
+            }
+            out = json.dumps(result, indent=1)
+            print(out)
+            if args.json_out:
+                pathlib.Path(args.json_out).write_text(out + "\n")
+            return 0
 
         if args.fleet:
             r = args.fleet
