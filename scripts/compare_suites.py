@@ -115,7 +115,8 @@ def suite_parameters(suite: str):
 
 def ours_suite_run(scenarios, parameters, iterations: int,
                    full_budget: bool = False, restart_failed: int = 0,
-                   solve_oracles=None, oracle_fn=None):
+                   solve_oracles=None, oracle_fn=None,
+                   restart_rounds: int = 1):
     from nfopp_tpu.bench.runner import run_grid_suite
 
     t0 = time.time()
@@ -128,6 +129,7 @@ def ours_suite_run(scenarios, parameters, iterations: int,
         check_freq=50,
         stop_on_plateau=not full_budget,
         restart_failed=restart_failed,
+        restart_rounds=restart_rounds,
         solve_oracles=solve_oracles,
         oracle_fn=oracle_fn,
     )
@@ -464,6 +466,9 @@ def main():
                         help="ours side: portfolio fallback restarts for "
                         "infeasible problems (reported separately — changes "
                         "the comparison from single-solve parity)")
+    parser.add_argument("--restart-rounds", type=int, default=1,
+                        help="ours side: iterate the restart fallback up to "
+                        "this many rounds (fresh streams each round)")
     parser.add_argument("--exact", action="store_true",
                         help="warehouse only: BOTH sides plan and are "
                         "evaluated against the TRUE polygon geometry "
@@ -506,6 +511,7 @@ def main():
         scenarios, suite_parameters(args.suite), args.iterations,
         args.full_budget, args.restart_failed,
         solve_oracles=solve_oracles, oracle_fn=oracle_fn,
+        restart_rounds=args.restart_rounds,
     )
     ours_eval = [ev(p) for ev, p in zip(evaluators, ours_paths)]
     ours_feasible = np.array([not c for c, _ in ours_eval])
@@ -522,6 +528,7 @@ def main():
                 "min_geodesic": args.min_geodesic,
                 "full_budget": args.full_budget,
                 "restart_failed": args.restart_failed,
+                "restart_rounds": args.restart_rounds,
                 "ours_feasible": int(ours_feasible.sum()),
                 "ours_feasible_mask": ours_feasible.tolist(),
                 "ours_lengths": [round(float(x), 4) for x in ours_lengths],
@@ -562,6 +569,7 @@ def main():
         "footprint_radius": FOOTPRINT_RADIUS,
         "full_budget": args.full_budget,
         "restart_failed": args.restart_failed,
+        "restart_rounds": args.restart_rounds,
         "ours_feasible": int(ours_feasible.sum()),
         "ref_feasible": int(ref_feasible.sum()),
         "both_feasible": int(both.sum()),

@@ -128,6 +128,10 @@ def main():
     parser.add_argument("--restart-failed", type=int, default=0, metavar="R",
                         help="re-solve infeasible problems as R fresh restarts "
                         "(one extra batched solve), keep the best feasible")
+    parser.add_argument("--restart-rounds", type=int, default=1, metavar="M",
+                        help="iterate the restart fallback up to M rounds "
+                        "(fresh streams each round, stop at "
+                        "feasible-or-budget)")
     parser.add_argument("--shortcut", type=int, default=0, metavar="T",
                         help="post-solve random-pair shortcut attempts per "
                         "path (ops/shortcut.py — the OMPL PathSimplifier "
@@ -181,6 +185,7 @@ def main():
         min_iterations=args.min_iterations,
         stop_on_plateau=not args.full_budget,
         restart_failed=args.restart_failed,
+        restart_rounds=args.restart_rounds,
         checkpoint_path=args.checkpoint,
         checkpoint_every_chunks=args.checkpoint_every,
         resume=args.resume,
