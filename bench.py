@@ -179,9 +179,34 @@ def main() -> None:
         lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), oracle
     )
 
+    use_aot_pre = not args.no_aot and not args.multi and not (
+        args.fused or args.jacobi or args.merged
+    )
+    if use_aot_pre:
+        from nfopp_tpu.utils.aot import aot_key, save_aot, try_load_aot
+
+    def aot_or_compile(name, jit_fn, example_args, *parts):
+        """Load a saved executable for `name` or compile-and-save it — every
+        bench program becomes compile-service-independent once warmed."""
+        if use_aot_pre:
+            k = aot_key(name, config, *parts)
+            c = try_load_aot(k)
+            if c is not None:
+                log(f"AOT {name} loaded — compile bypassed")
+                return c
+        c = jit_fn.lower(*example_args).compile()
+        if use_aot_pre and save_aot(c, k):
+            log(f"AOT {name} saved")
+        return c
+
     t0 = time.time()
-    init = jax.jit(jax.vmap(lambda k, s, g, b: solver.init_state(k, s, g, b, oracle)))
-    states = jax.block_until_ready(init(keys, starts, goals, bounds))
+    init = aot_or_compile(
+        "bench-init",
+        jax.jit(jax.vmap(lambda k, s, g, b: solver.init_state(k, s, g, b, oracle))),
+        (keys, starts, goals, bounds), batch,
+    )
+    states = init(keys, starts, goals, bounds)
+    np.asarray(jax.tree_util.tree_leaves(states)[0])  # host-fetch sync
     log(f"init: {time.time() - t0:.1f}s")
 
     chunk = args.timed_steps
@@ -297,9 +322,17 @@ def main() -> None:
             solver = solver_fast
             background_box = box
 
+    def sync(tree):
+        """Force a host fetch of one leaf: jax.block_until_ready does NOT
+        reliably block on this backend — and returns instantly for outputs
+        of DESERIALIZED (AOT-loaded) executables (measured: a 5-chunk timed
+        loop read 0.00s). A host fetch transitively waits on the whole
+        dispatch chain (CLAUDE.md timing caveats)."""
+        np.asarray(jax.tree_util.tree_leaves(tree)[0])
+
     t0 = time.time()
     warm, _ = run(states, oracles)
-    jax.block_until_ready(warm)
+    sync(warm)
     log(f"compile+warmup ({chunk} steps): {time.time() - t0:.1f}s")
 
     # timed: full iteration budget in chunks
@@ -308,7 +341,7 @@ def main() -> None:
     s = states
     for _ in range(n_chunks):
         s, aux = run(s, oracles)
-    jax.block_until_ready(s)
+    sync(s)
     elapsed = time.time() - t0
     steps_done = n_chunks * chunk
 
@@ -320,12 +353,16 @@ def main() -> None:
     # quality sanity: fraction of problems with a collision-free final path
     from nfopp_tpu.solver.tracking import evaluate_path
 
-    eval_fn = jax.jit(
-        jax.vmap(
-            lambda st, o: evaluate_path(
-                rectangle_collision, o, solver.full_trajectory(st)
+    eval_fn = aot_or_compile(
+        "bench-eval",
+        jax.jit(
+            jax.vmap(
+                lambda st, o: evaluate_path(
+                    rectangle_collision, o, solver.full_trajectory(st)
+                )
             )
-        )
+        ),
+        (s, oracles), batch,
     )
     collides, length = eval_fn(s, oracles)
     feasible_frac = float(1.0 - np.asarray(collides).mean())
@@ -350,15 +387,22 @@ def main() -> None:
             f"min {fr.min():.4f} mean {fr.mean():.4f} max {fr.max():.4f}")
 
     # p50 replan latency: one solver step on the whole batch (anytime mode)
-    step1 = jax.jit(lambda s, o: jax.vmap(solver.run, in_axes=(0, 0, None))(s, o, 1))
-    jax.block_until_ready(step1(s, oracles))  # compile
-    lat = []
+    step1 = aot_or_compile(
+        "bench-step1",
+        jax.jit(lambda s, o: jax.vmap(solver.run, in_axes=(0, 0, None))(s, o, 1)),
+        (s, oracles), batch,
+    )
+    out, _ = step1(s, oracles)  # warm dispatch
+    sync(out)
+    # 20 identical fixed-shape steps, one final sync: per-step device latency
+    # = span / 20 (mean == p50 for identical data-independent steps; a
+    # per-dispatch host fetch would measure tunnel RTT instead — CLAUDE.md)
+    t1 = time.time()
+    o2 = s
     for _ in range(20):
-        t1 = time.time()
-        out, _ = step1(s, oracles)
-        jax.block_until_ready(out)
-        lat.append(time.time() - t1)
-    p50_ms = float(np.median(lat) * 1e3)
+        o2, _ = step1(o2, oracles)
+    sync(o2)
+    p50_ms = float((time.time() - t1) / 20 * 1e3)
     log(f"p50 batched step latency: {p50_ms:.2f} ms")
 
     benched_outer_unroll = getattr(solver.config, "outer_scan_unroll", 1)
@@ -379,12 +423,12 @@ def main() -> None:
             if use_aot and save_aot(run2, aot_run_key):
                 log("AOT executable saved for the next run")
             w, _ = run2(states, oracles)
-            jax.block_until_ready(w)  # warmup dispatch
+            sync(w)  # warmup dispatch
             t1 = time.time()
             s2 = states
             for _ in range(n_chunks):
                 s2, _ = run2(s2, oracles)
-            jax.block_until_ready(s2)
+            sync(s2)
             elapsed2 = time.time() - t1
             per_step2 = elapsed2 / steps_done / batch * 1e6
             log(f"full-unroll re-time: {per_step2:.2f} us/step/problem "
@@ -407,7 +451,7 @@ def main() -> None:
             s2 = states
             for _ in range(n_chunks):
                 s2, _ = run(s2, oracles)
-            jax.block_until_ready(s2)
+            sync(s2)
             elapsed2 = time.time() - t1
             per_step2 = elapsed2 / steps_done / batch * 1e6
             log(f"re-time at outer-unroll 1: {per_step2:.2f} us/step/problem "
