@@ -145,9 +145,18 @@ def main():
                         help="tracking chunks between checkpoint saves")
     parser.add_argument("--resume", action="store_true",
                         help="resume from --checkpoint if it exists")
+    parser.add_argument("--exact", action="store_true",
+                        help="warehouse only: solve and evaluate against the "
+                        "TRUE polygon geometry (worlds.oracle.PolygonOracle, "
+                        "footprint as exact edge-distance inflation) instead "
+                        "of the rasterized grid; clearance metrics become "
+                        "exact segment distances")
     parser.add_argument("--out", default="/tmp/nfopp_results.json")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
+    if args.exact and args.suite != "warehouse":
+        parser.error("--exact is only meaningful for the polygon "
+                     "(warehouse) suite")
 
     import jax
 
@@ -176,8 +185,38 @@ def main():
         )
         parameters = Config.from_dict(parameters).update(override).as_attribute_dict()
 
+    exact_kw = {}
+    if args.exact:
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from nfopp_tpu.bench import polygons_to_segments
+        from nfopp_tpu.worlds import (
+            PolygonOracle, pad_polygons, polygon_collision, warehouse_polygons,
+        )
+
+        poly_lists = [warehouse_polygons(s) for s in range(args.seeds)]
+        capacity = max(len(p) for p in poly_lists)
+        max_vertices = max(len(v) for polys in poly_lists for v in polys)
+        singles = []
+        for sc, polys in zip(scenarios, poly_lists):
+            vertices, mask = pad_polygons(polys, capacity, max_vertices)
+            singles.append(PolygonOracle(
+                jnp.asarray(vertices), jnp.asarray(mask),
+                jnp.float32(args.footprint_radius),
+                jnp.asarray(sc.bounds, jnp.float32),
+            ))
+        exact_kw = dict(
+            solve_oracles=_jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *singles
+            ),
+            oracle_fn=polygon_collision,
+            obstacle_segments=[polygons_to_segments(p) for p in poly_lists],
+        )
+
     print(f"suite={args.suite} problems={len(scenarios)} "
-          f"grid={scenarios[0].blocked.shape} device={jax.devices()[0]}")
+          f"grid={scenarios[0].blocked.shape} device={jax.devices()[0]}"
+          + (" geometry=EXACT polygons" if args.exact else ""))
     result = run_grid_suite(
         scenarios, parameters,
         footprint_radius=args.footprint_radius,
@@ -190,6 +229,7 @@ def main():
         checkpoint_every_chunks=args.checkpoint_every,
         resume=args.resume,
         shortcut_trials=args.shortcut,
+        **exact_kw,
     )
 
     feasible = result.feasible
