@@ -134,6 +134,16 @@ def main() -> None:
     device = jax.devices()[0]
     log(f"device: {device}, batch={args.batch}, steps={args.steps}")
 
+    # Claim-wait probe: the axon tunnel's TPU claim lingers minutes after the
+    # previous process exits, and that wait lands in whatever device op runs
+    # FIRST (BENCH_r04's init:175.5s was mostly claim wait, not init). One
+    # trivial device op, timed and synced by host fetch, isolates it so the
+    # artifact self-documents the stall instead of blaming init/compile.
+    t0 = time.time()
+    float(jnp.zeros((8,), jnp.float32).sum())
+    claim_wait_s = time.time() - t0
+    log(f"claim wait (first trivial device op): {claim_wait_s:.1f}s")
+
     env = car_environment()
     pts, mask = pad_obstacle_points(env.obstacle_points.astype(np.float32), 64)
     oracle = RectangleOracle(
@@ -183,13 +193,23 @@ def main() -> None:
         args.fused or args.jacobi or args.merged
     )
     if use_aot_pre:
-        from nfopp_tpu.utils.aot import aot_key, save_aot, try_load_aot
+        from nfopp_tpu.utils.aot import (
+            aot_key, content_digest, save_aot, try_load_aot,
+        )
 
-    def aot_or_compile(name, jit_fn, example_args, *parts):
+        # keys carry the framework source digest automatically (aot_key) plus
+        # the scene contents: the bench programs bake `oracle` in as literals,
+        # so a scene edit must miss the cache (ADVICE r4 medium)
+        scene_digest = content_digest(oracle)
+
+    def aot_or_compile(name, jit_fn, example_args, slv, *parts):
         """Load a saved executable for `name` or compile-and-save it — every
-        bench program becomes compile-service-independent once warmed."""
+        bench program becomes compile-service-independent once warmed. Keys
+        on `slv.config` (the solver the jitted closure actually captured —
+        the adaptive path rebinds `solver` to an outer-unroll-1 variant, and
+        executables compiled from it must not alias the full-unroll key)."""
         if use_aot_pre:
-            k = aot_key(name, config, *parts)
+            k = aot_key(name, slv.config, scene_digest, *parts)
             c = try_load_aot(k)
             if c is not None:
                 log(f"AOT {name} loaded — compile bypassed")
@@ -203,7 +223,7 @@ def main() -> None:
     init = aot_or_compile(
         "bench-init",
         jax.jit(jax.vmap(lambda k, s, g, b: solver.init_state(k, s, g, b, oracle))),
-        (keys, starts, goals, bounds), batch,
+        (keys, starts, goals, bounds), solver, batch,
     )
     states = init(keys, starts, goals, bounds)
     np.asarray(jax.tree_util.tree_leaves(states)[0])  # host-fetch sync
@@ -230,7 +250,7 @@ def main() -> None:
     if use_aot:
         from nfopp_tpu.utils.aot import aot_key, save_aot, try_load_aot
 
-        aot_run_key = aot_key("bench-run", config, batch, chunk)
+        aot_run_key = aot_key("bench-run", config, scene_digest, batch, chunk)
         t_aot = time.time()
         loaded = try_load_aot(aot_run_key)
         if loaded is not None:
@@ -271,7 +291,7 @@ def main() -> None:
         run = None
         if use_aot:
             probe_key = aot_key(
-                "bench-run", solver_fast.config, batch, chunk
+                "bench-run", solver_fast.config, scene_digest, batch, chunk
             )
             t0 = time.time()
             run = try_load_aot(probe_key)
@@ -362,7 +382,7 @@ def main() -> None:
                 )
             )
         ),
-        (s, oracles), batch,
+        (s, oracles), solver, batch,
     )
     collides, length = eval_fn(s, oracles)
     feasible_frac = float(1.0 - np.asarray(collides).mean())
@@ -390,7 +410,7 @@ def main() -> None:
     step1 = aot_or_compile(
         "bench-step1",
         jax.jit(lambda s, o: jax.vmap(solver.run, in_axes=(0, 0, None))(s, o, 1)),
-        (s, oracles), batch,
+        (s, oracles), solver, batch,
     )
     out, _ = step1(s, oracles)  # warm dispatch
     sync(out)
@@ -472,6 +492,7 @@ def main() -> None:
         "p50_batched_step_ms": round(p50_ms, 3),
         "outer_unroll": benched_outer_unroll,
         "aot_loaded": aot_loaded,
+        "claim_wait_s": round(claim_wait_s, 1),
         "device": str(device),
     }
     default_config = not (args.fused or args.jacobi or args.merged or args.multi

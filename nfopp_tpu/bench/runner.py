@@ -52,11 +52,12 @@ def _shortcut_pass(solver, oracles, paths, lengths, feasible, key, trials,
                    samples_per_segment: int = 5):
     """Random-pair shortcut pass over a whole path batch.
 
-    Returns updated (paths, lengths, feasible, repaired_count). A candidate is
-    taken whenever its dense re-check passes — accepted shortcuts can't break
-    feasibility at the same sampling density, and a chord spanning an
-    infeasible path's colliding span can even REPAIR it; repaired problems are
-    counted separately so artifacts stay attributable."""
+    Returns updated (paths, lengths, feasible, repaired_mask[B]). A candidate
+    is taken whenever its dense re-check passes — accepted shortcuts can't
+    break feasibility at the same sampling density, and a chord spanning an
+    infeasible path's colliding span can even REPAIR it; the per-lane repaired
+    mask lets callers attribute rescues exactly (restart lanes map back to
+    problem indices, so one repair is never counted per-lane)."""
     from ..ops.shortcut import shortcut_batch
     from ..solver.tracking import evaluate_path
 
@@ -67,12 +68,12 @@ def _shortcut_pass(solver, oracles, paths, lengths, feasible, key, trials,
         lambda o, p: evaluate_path(solver.oracle_fn, o, p, samples_per_segment)
     ))(oracles, short)
     take = ~np.asarray(collides_s)
-    repaired = int(np.sum(take & ~feasible))
+    repaired_mask = take & ~feasible
     paths = paths.copy()
     lengths = lengths.copy()
     paths[take] = np.asarray(short)[take]
     lengths[take] = np.asarray(lengths_s)[take]
-    return paths, lengths, feasible | take, repaired
+    return paths, lengths, feasible | take, repaired_mask
 
 
 def run_grid_suite(
@@ -137,6 +138,14 @@ def run_grid_suite(
     """
     if parameters is None:
         parameters = DEFAULT_PARAMETERS
+    # fail BEFORE the solve: an unavailable native library must not discard
+    # minutes of TPU time at evaluation (checked again post-solve for the log)
+    if require_native_evaluator and active_evaluator() != "native":
+        raise RuntimeError(
+            "native path-statistics evaluator requested but unavailable "
+            "(bench/native build failed?) — refusing to start a suite whose "
+            "artifacts would silently be numpy-evaluated"
+        )
     config = config_from_parameters(parameters)
     # solve_oracles + oracle_fn override the rasterized grid oracle with
     # EXACT geometry (e.g. worlds.oracle.PolygonOracle/polygon_collision —
@@ -206,11 +215,11 @@ def run_grid_suite(
     # burn restart_failed full re-solves (the repair is ~free)
     repaired_total = 0
     if shortcut_trials > 0:
-        paths, lengths, feasible, rep = _shortcut_pass(
+        paths, lengths, feasible, rep_mask = _shortcut_pass(
             solver, oracles, paths, lengths, feasible,
             jax.random.PRNGKey(seed ^ 0x5C0C), shortcut_trials,
         )
-        repaired_total += rep
+        repaired_total += int(rep_mask.sum())  # base batch: one lane == one problem
 
     rounds_used = 0
     for rnd in range(restart_rounds if restart_failed > 0 else 0):
@@ -257,17 +266,20 @@ def run_grid_suite(
         r_paths_flat = np.asarray(retry.path).copy()
         r_feas_flat = np.asarray(retry.feasible).copy()
         r_len_flat = np.asarray(retry.length).copy()
+        r_repaired_flat = np.zeros(len(r_feas_flat), bool)
         if shortcut_trials > 0:
             # restarts get the same repair chance as the base solve
-            r_paths_flat, r_len_flat, r_feas_flat, rep = _shortcut_pass(
-                solver, oracles_f, r_paths_flat, r_len_flat, r_feas_flat,
-                jax.random.PRNGKey(retry_seed ^ 0x5C0C), shortcut_trials,
+            r_paths_flat, r_len_flat, r_feas_flat, r_repaired_flat = (
+                _shortcut_pass(
+                    solver, oracles_f, r_paths_flat, r_len_flat, r_feas_flat,
+                    jax.random.PRNGKey(retry_seed ^ 0x5C0C), shortcut_trials,
+                )
             )
-            repaired_total += rep
         r_paths = r_paths_flat[:total].reshape(len(failed), r, *paths.shape[1:])
         r_feas = r_feas_flat[:total].reshape(len(failed), r)
         r_len = r_len_flat[:total].reshape(len(failed), r)
         r_iter = np.asarray(retry.iterations)[:total].reshape(len(failed), r)
+        r_repaired = r_repaired_flat[:total].reshape(len(failed), r)
         for j, b in enumerate(failed):
             ok = np.where(r_feas[j])[0]
             if len(ok):
@@ -275,6 +287,11 @@ def run_grid_suite(
                 paths[b] = r_paths[j, best]
                 lengths[b] = r_len[j, best]
                 feasible[b] = True
+                # a problem counts as shortcut-repaired only if the lane the
+                # selection actually kept owes its feasibility to the chord
+                # repair (per PROBLEM, never per lane: restart lanes + pad
+                # duplicates previously inflated this provenance field)
+                repaired_total += int(r_repaired[j, best])
                 # total optimization spent on this problem: first try + restarts
                 iterations[b] = iterations[b] + int(r_iter[j, best])
     wall = time.time() - t0

@@ -201,7 +201,12 @@ def _make_exact_polygon_checker(polygons, radius, bounds):
                 crosses = straddles & (
                     xy[:, 0:1] < v0[None, :, 0] + t * (v1[None, :, 0] - v0[None, :, 0])
                 )
-                inside ^= (crosses.sum(axis=1) % 2).astype(bool)
+                # inside-ANY-polygon (|=), matching the device
+                # polygon_collision semantics — a global even-odd fold (^=)
+                # would make the interior of two OVERLAPPING polygons read as
+                # free space on this side only (latent: the warehouse
+                # generator avoids overlaps today)
+                inside |= (crosses.sum(axis=1) % 2).astype(bool)
             w = xy[:, None, :] - a[None]
             tt = np.clip((w * d[None]).sum(axis=2) / denom[None], 0.0, 1.0)
             closest = a[None] + tt[..., None] * d[None]
