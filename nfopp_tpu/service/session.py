@@ -181,30 +181,100 @@ def fleet_replan_session(
     steps_per_cycle: int,
     group_size: int,
     follow_index: int = 3,
+    subgroups: int = 1,
 ) -> tuple[Any, SessionAux]:
     """Fleet session: R robots on one shared map (batched `states`,
     `oracle_params` batched per robot, `goals` [G, R, d]); each goal round
     retargets every robot, then runs `cycles_per_goal` batched cycles with one
     shared occupancy field per `group_size` robots (run_grouped — the
     FleetReplanningService stepping mode).
+
+    subgroups=S > 1 splits the fleet into S consecutive sub-batches of R/S
+    robots and steps them SEQUENTIALLY inside each cycle (a lax.scan over the
+    sub-batch axis): the compiled program is a single (R/S)-robot burst plus
+    scan plumbing rather than one R-wide burst, and peak live state per burst
+    shrinks S-fold. This is the serving schedule for fleets past the one-shot
+    capacity cliff — a 256-robot grouped program reproducibly crashes the
+    v5e-lite worker (REPLAN_r04 capacity_boundary), but 2x128 sequential
+    bursts are two instances of the proven 128-robot program, and at 20-step
+    bursts still fit the reference's 100 ms cycle budget
+    (ros/goal_planner_adapter_factory.py:28). Each sub-batch keeps its own
+    shared field (groups never span sub-batches), so `group_size` must divide
+    R/S; scheduling is the ONLY semantic change vs subgroups=1 with the same
+    group_size — sub-batches are independent, so results are bit-identical to
+    running S separate (R/S)-robot sessions.
     """
     _check_steps(solver, steps_per_cycle)
+    goals = jnp.asarray(goals, jnp.float32)
+    if subgroups == 1:
 
-    def cycle(carry, _):
-        st = carry
+        def cycle(carry, _):
+            st = carry
+            paths = jax.vmap(solver.full_trajectory)(st)
+            poses = paths[:, follow_index]
+            st = jax.vmap(solver.update_start)(st, poses)
+            st, _ = solver.run_grouped(st, oracle_params, steps_per_cycle, group_size)
+            new_paths = jax.vmap(solver.full_trajectory)(st)
+            return st, SessionAux(
+                path_length=jax.vmap(_xy_length)(new_paths), pose=poses
+            )
+
+        def per_goal(carry, goal_row):
+            paths = jax.vmap(solver.full_trajectory)(carry)
+            st = jax.vmap(solver.retarget)(carry, paths[:, follow_index], goal_row)
+            st, aux = jax.lax.scan(cycle, st, None, length=cycles_per_goal)
+            return st, aux
+
+        return jax.lax.scan(per_goal, states, goals)
+
+    robots = jax.tree_util.tree_leaves(states)[0].shape[0]
+    if robots % subgroups != 0:
+        raise ValueError(f"fleet {robots} not divisible by subgroups {subgroups}")
+    sub = robots // subgroups
+    if sub % group_size != 0:
+        raise ValueError(
+            f"sub-batch {sub} not divisible by group_size {group_size} — "
+            "shared-field groups must not span sequential sub-batches"
+        )
+
+    def split(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((subgroups, sub) + x.shape[1:]), tree
+        )
+
+    def merge(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((robots,) + x.shape[2:]), tree
+        )
+
+    oracles_s = split(oracle_params)
+
+    def sub_cycle(_, sub_in):
+        st, opar = sub_in
         paths = jax.vmap(solver.full_trajectory)(st)
         poses = paths[:, follow_index]
         st = jax.vmap(solver.update_start)(st, poses)
-        st, _ = solver.run_grouped(st, oracle_params, steps_per_cycle, group_size)
+        st, _ = solver.run_grouped(st, opar, steps_per_cycle, group_size)
         new_paths = jax.vmap(solver.full_trajectory)(st)
-        return st, SessionAux(
+        return None, (st, SessionAux(
             path_length=jax.vmap(_xy_length)(new_paths), pose=poses
+        ))
+
+    def cycle(carry, _):
+        # one burst program, S sequential instances: subgroup s+1's robots
+        # replan after subgroup s within the same wall-clock cycle
+        _, (st, aux) = jax.lax.scan(sub_cycle, None, (carry, oracles_s))
+        return st, jax.tree_util.tree_map(
+            lambda x: x.reshape((robots,) + x.shape[2:]), aux
         )
 
     def per_goal(carry, goal_row):
-        paths = jax.vmap(solver.full_trajectory)(carry)
-        st = jax.vmap(solver.retarget)(carry, paths[:, follow_index], goal_row)
+        paths = jax.vmap(jax.vmap(solver.full_trajectory))(carry)
+        st = jax.vmap(jax.vmap(solver.retarget))(
+            carry, paths[:, :, follow_index], split(goal_row)
+        )
         st, aux = jax.lax.scan(cycle, st, None, length=cycles_per_goal)
         return st, aux
 
-    return jax.lax.scan(per_goal, states, jnp.asarray(goals, jnp.float32))
+    final, aux = jax.lax.scan(per_goal, split(states), goals)
+    return merge(final), aux

@@ -46,6 +46,12 @@ def main() -> int:
                         help="serve N robots on one map as a single batched "
                              "fleet (FleetReplanningService, shared field) "
                              "instead of the single-robot service")
+    parser.add_argument("--subgroups", type=int, default=1, metavar="S",
+                        help="device-true fleet: split the fleet into S "
+                             "sequential sub-fleet bursts per cycle (one "
+                             "shared field per sub-fleet) — the schedule for "
+                             "fleets past the one-shot capacity cliff; in "
+                             "--fleet-sweep use the 'R/S' size token instead")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--device-true", action="store_true",
                         help="run the whole session inside ONE jitted program "
@@ -129,15 +135,29 @@ def main() -> int:
             float(jnp.sum(aux.path_length))
             return _time.perf_counter() - t0
 
-        def fleet_setup(r: int, cycles_per_goal: int):
+        def fleet_setup(r: int, cycles_per_goal: int, subgroups: int = 1):
             """(compiled session fn, warm args, timed args) for an r-robot
-            fleet on one shared map with ONE shared field."""
-            keys_a = jax.random.split(jax.random.PRNGKey(1), r)
-            keys_b = jax.random.split(jax.random.PRNGKey(2), r)
-            mk = jax.jit(jax.vmap(
-                lambda k: solver.init_state(k, start, goal, bounds, oracle)
-            ))
-            states_a, states_b = mk(keys_a), mk(keys_b)
+            fleet on one shared map with one shared field per sub-fleet
+            (subgroups=1: ONE field for the whole fleet). Robots in a group
+            share a field_key so the replicas start identical — run_grouped's
+            lockstep precondition (group-mean gradients assume identical
+            replicas; distinct inits would silently freeze the initial
+            offsets into every robot's field)."""
+            group = r // subgroups
+
+            def mk(seed):
+                kp, kf = jax.random.split(jax.random.PRNGKey(seed))
+                keys = jax.random.split(kp, r)
+                field_keys = jnp.repeat(
+                    jax.random.split(kf, subgroups), group, axis=0
+                )
+                return jax.jit(jax.vmap(
+                    lambda k, fk: solver.init_state(
+                        k, start, goal, bounds, oracle, field_key=fk
+                    )
+                ))(keys, field_keys)
+
+            states_a, states_b = mk(1), mk(2)
             oracles = jax.tree_util.tree_map(
                 lambda x: jnp.tile(x[None], (r,) + (1,) * x.ndim), oracle
             )
@@ -148,17 +168,25 @@ def main() -> int:
                 [base if j % 2 == 0 else base[::-1] for j in range(g)]
             )
             fn = jax.jit(lambda st, o, gl: fleet_replan_session(
-                solver, st, o, gl, cycles_per_goal, s, group_size=r))
+                solver, st, o, gl, cycles_per_goal, s, group_size=group,
+                subgroups=subgroups))
             return fn, (states_a, oracles, goals), (states_b, oracles, goals)
 
         if args.fleet_sweep:
             # fleet-scaling curve: ms/cycle and robot-replans/s per size.
             # cycles_per_goal auto-scales (predicted per-cycle ~2.2 ms +
             # ~0.3 ms/extra robot, the measured r=1/r=8 line) so every
-            # session spans >=20 s on-device.
-            sizes = [int(x) for x in args.fleet_sweep.split(",")]
+            # session spans >=20 s on-device. A size token 'R/S' runs R
+            # robots as S sequential sub-fleet bursts per cycle
+            # (fleet_replan_session subgroups — the schedule for fleets past
+            # the one-shot 256-robot capacity cliff, REPLAN_r04).
+            sizes = []
+            for tok in args.fleet_sweep.split(","):
+                r_s = tok.split("/")
+                sizes.append((int(r_s[0]),
+                              int(r_s[1]) if len(r_s) > 1 else 1))
             rows = []
-            for r in sizes:
+            for r, subgroups in sizes:
                 pred_ms = 2.2 + 0.3 * max(0, r - 1)
                 cpg = args.cycles_per_goal or int(
                     np.clip(round(20000.0 / pred_ms / g), 60, 625)
@@ -177,12 +205,13 @@ def main() -> int:
                         fn, (sa, oracle, goals_1), (sb, oracle, goals_1)
                     )
                 else:
-                    fn, warm_a, timed_a = fleet_setup(r, cpg)
+                    fn, warm_a, timed_a = fleet_setup(r, cpg, subgroups)
                     wall = timed_session(fn, warm_a, timed_a)
                 per_cycle_ms = wall / cycles_r * 1e3
                 per_step_us = wall / (cycles_r * s) * 1e6
                 row = {
                     "robots": r,
+                    **({"subgroups": subgroups} if subgroups > 1 else {}),
                     "p50_ms": round(per_cycle_ms, 3),
                     "per_step_us": round(per_step_us, 2),
                     "steps_fitting_budget": int(
@@ -217,27 +246,15 @@ def main() -> int:
 
         if args.fleet:
             r = args.fleet
-            keys_a = jax.random.split(jax.random.PRNGKey(1), r)
-            keys_b = jax.random.split(jax.random.PRNGKey(2), r)
-            mk = jax.jit(jax.vmap(
-                lambda k: solver.init_state(k, start, goal, bounds, oracle)
-            ))
-            states_a, states_b = mk(keys_a), mk(keys_b)
-            oracles = jax.tree_util.tree_map(
-                lambda x: jnp.tile(x[None], (r,) + (1,) * x.ndim), oracle
-            )
-            # alternate runs of start/goal targets per robot, G rounds
-            base = jnp.stack([goal if i % 2 == 0 else start for i in range(r)])
-            goals = jnp.stack([base if j % 2 == 0 else base[::-1] for j in range(g)])
-            fn = jax.jit(lambda st, o, gl: fleet_replan_session(
-                solver, st, o, gl, c, s, group_size=r))
-            wall = timed_session(fn, (states_a, oracles, goals),
-                                 (states_b, oracles, goals))
+            fn, warm_a, timed_a = fleet_setup(r, c, args.subgroups)
+            wall = timed_session(fn, warm_a, timed_a)
             per_cycle_ms = wall / total_cycles * 1e3
             per_step_us = wall / (total_cycles * s) * 1e6
             result = {
                 "metric": "fleet_replan_cycle_latency_device_true",
                 "robots": r,
+                **({"subgroups": args.subgroups}
+                   if args.subgroups > 1 else {}),
                 "p50_ms": round(per_cycle_ms, 3),
                 "note": "one jitted session; fixed-shape cycles => mean == p50",
                 "budget_ms": args.timeout * 1e3,

@@ -113,3 +113,61 @@ def test_fleet_session_lockstep_and_shapes():
     np.testing.assert_allclose(paths[0, -1], np.asarray(goal), atol=1e-6)
     np.testing.assert_allclose(paths[2, -1], np.asarray(start), atol=1e-6)
     assert np.all(np.isfinite(paths))
+
+
+def test_fleet_session_subgroups_bitequal_to_independent_sessions():
+    """subgroups=S is a SCHEDULE, not a semantics change: sub-batches are
+    independent (groups never span them), so a subgrouped fleet session
+    matches running each sub-fleet as its own session. Equality is to float
+    tolerance, not bit: XLA fuses the burst body differently inside the
+    sub-batch scan than in the standalone program (same per-program-shape
+    fusion drift as the cross-mesh note in __graft_entry__)."""
+    env, solver, states, oracles = _setup(batch=8)
+    goal = jnp.asarray(env.goal, jnp.float32)
+    start = jnp.asarray(env.start, jnp.float32)
+    row = jnp.stack([goal if i % 2 == 0 else start for i in range(8)])
+    goals = jnp.stack([row, row[::-1]])  # [2, 8, 3]
+
+    out, aux = jax.jit(
+        lambda s, o, g: fleet_replan_session(
+            solver, s, o, g, 2, 10, group_size=4, subgroups=2
+        )
+    )(states, oracles, goals)
+    assert aux.path_length.shape == (2, 2, 8)
+
+    half = lambda tree, sl: jax.tree_util.tree_map(lambda x: x[sl], tree)
+    for s0, sl in ((0, slice(0, 4)), (1, slice(4, 8))):
+        ref_out, ref_aux = jax.jit(
+            lambda s, o, g: fleet_replan_session(
+                solver, s, o, g, 2, 10, group_size=4
+            )
+        )(half(states, sl), half(oracles, sl), goals[:, sl])
+        np.testing.assert_allclose(
+            np.asarray(out.trajectory[sl]), np.asarray(ref_out.trajectory),
+            atol=5e-3,
+        )
+        # the goal comes verbatim from the retarget row: exact across
+        # schedules (start is the tracked pose — it inherits the drift)
+        np.testing.assert_array_equal(
+            np.asarray(out.goal[sl]), np.asarray(ref_out.goal)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.start[sl]), np.asarray(ref_out.start), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(aux.path_length[:, :, sl]),
+            np.asarray(ref_aux.path_length), rtol=1e-3,
+        )
+
+
+def test_fleet_session_subgroup_validation():
+    env, solver, states, oracles = _setup(batch=8)
+    goals = jnp.zeros((1, 8, 3), jnp.float32)
+    with pytest.raises(ValueError, match="divisible by subgroups"):
+        fleet_replan_session(
+            solver, states, oracles, goals, 1, 10, group_size=1, subgroups=3
+        )
+    with pytest.raises(ValueError, match="span sequential sub-batches"):
+        fleet_replan_session(
+            solver, states, oracles, goals, 1, 10, group_size=4, subgroups=4
+        )
