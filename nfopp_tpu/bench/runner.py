@@ -98,6 +98,7 @@ def run_grid_suite(
     solve_oracles=None,
     oracle_fn=None,
     obstacle_segments: list | None = None,
+    aot: bool = False,
 ) -> SuiteResult:
     """Solve every scenario in one batch; scenarios must share grid shape.
 
@@ -155,7 +156,13 @@ def run_grid_suite(
     # approximate); every solve/evaluation/shortcut check is exact.
     oracle_fn = oracle_fn if oracle_fn is not None else grid_collision
     solver = ConstrainedSolver(config, oracle_fn)
-    planner = BatchPlanner(solver, mesh if mesh is not None else problem_mesh())
+    # aot=True routes the big solve/init programs through the AOT executable
+    # store: a warm store starts the suite with ZERO remote-compile-service
+    # round trips (utils/aot.py; keys carry source+shape identity)
+    planner = BatchPlanner(
+        solver, mesh if mesh is not None else problem_mesh(),
+        aot_prefix="suite" if aot else None,
+    )
 
     grid_oracles_list = [s.oracle(footprint_radius) for s in scenarios]
     grid_oracles = jax.tree_util.tree_map(
@@ -313,6 +320,7 @@ def run_grid_suite(
             "restart_rounds": restart_rounds,
             "restart_rounds_used": rounds_used,
             "stop_on_plateau": stop_on_plateau,
+            **({"aot_events": planner.aot_events} if aot else {}),
         },
     })
     stats_list = []

@@ -33,6 +33,7 @@ __all__ = [
     "aot_path",
     "content_digest",
     "save_aot",
+    "shape_digest",
     "source_digest",
     "try_load_aot",
 ]
@@ -83,6 +84,23 @@ def content_digest(tree: Any) -> str:
         h.update(str(arr.shape).encode())
         h.update(str(arr.dtype).encode())
         h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()[:16]
+
+
+def shape_digest(tree: Any) -> str:
+    """Digest of a pytree's STRUCTURE (treedef + leaf shapes/dtypes, not
+    contents). Use for program ARGUMENTS — a program is specialized to its
+    arg shapes but not their values (contrast content_digest for
+    closure-baked constants)."""
+    import numpy as np
+
+    h = hashlib.sha256()
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    h.update(str(treedef).encode())
+    for leaf in leaves:
+        shape = getattr(leaf, "shape", np.shape(leaf))
+        dtype = getattr(leaf, "dtype", np.asarray(leaf).dtype)
+        h.update(f"{shape}{dtype}".encode())
     return h.hexdigest()[:16]
 
 

@@ -80,6 +80,11 @@ def main() -> int:
                              "on-device (dispatch jitter <2%)")
     parser.add_argument("--json-out", default=None,
                         help="also write the result JSON to this path")
+    parser.add_argument("--aot", action="store_true",
+                        help="device-true fleet paths: resolve the session "
+                             "program through the AOT executable store "
+                             "(first run compiles+saves; later runs start "
+                             "with zero compile-service round trips)")
     args = parser.parse_args()
 
     import jax
@@ -170,7 +175,23 @@ def main() -> int:
             fn = jax.jit(lambda st, o, gl: fleet_replan_session(
                 solver, st, o, gl, cycles_per_goal, s, group_size=group,
                 subgroups=subgroups))
-            return fn, (states_a, oracles, goals), (states_b, oracles, goals)
+            aot_info = None
+            if args.aot:
+                from nfopp_tpu.utils.aot import (
+                    aot_or_compile as aot_program, shape_digest,
+                )
+
+                warm = (states_a, oracles, goals)
+                prog = aot_program(
+                    f"session-fleet{r}", fn, warm, solver.config,
+                    (r, cycles_per_goal, s, group, subgroups),
+                    shape_digest(warm), verbose=True,
+                )
+                fn = prog
+                aot_info = {"loaded": prog.loaded,
+                            "seconds": round(prog.seconds, 2)}
+            return (fn, (states_a, oracles, goals),
+                    (states_b, oracles, goals), aot_info)
 
         if args.fleet_sweep:
             # fleet-scaling curve: ms/cycle and robot-replans/s per size.
@@ -205,13 +226,16 @@ def main() -> int:
                         fn, (sa, oracle, goals_1), (sb, oracle, goals_1)
                     )
                 else:
-                    fn, warm_a, timed_a = fleet_setup(r, cpg, subgroups)
+                    fn, warm_a, timed_a, aot_info = fleet_setup(
+                        r, cpg, subgroups
+                    )
                     wall = timed_session(fn, warm_a, timed_a)
                 per_cycle_ms = wall / cycles_r * 1e3
                 per_step_us = wall / (cycles_r * s) * 1e6
                 row = {
                     "robots": r,
                     **({"subgroups": subgroups} if subgroups > 1 else {}),
+                    **({"aot": aot_info} if r > 1 and aot_info else {}),
                     "p50_ms": round(per_cycle_ms, 3),
                     "per_step_us": round(per_step_us, 2),
                     "steps_fitting_budget": int(
@@ -246,7 +270,7 @@ def main() -> int:
 
         if args.fleet:
             r = args.fleet
-            fn, warm_a, timed_a = fleet_setup(r, c, args.subgroups)
+            fn, warm_a, timed_a, aot_info = fleet_setup(r, c, args.subgroups)
             wall = timed_session(fn, warm_a, timed_a)
             per_cycle_ms = wall / total_cycles * 1e3
             per_step_us = wall / (total_cycles * s) * 1e6
@@ -255,6 +279,7 @@ def main() -> int:
                 "robots": r,
                 **({"subgroups": args.subgroups}
                    if args.subgroups > 1 else {}),
+                **({"aot": aot_info} if aot_info else {}),
                 "p50_ms": round(per_cycle_ms, 3),
                 "note": "one jitted session; fixed-shape cycles => mean == p50",
                 "budget_ms": args.timeout * 1e3,

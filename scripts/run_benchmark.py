@@ -151,6 +151,13 @@ def main():
                         "footprint as exact edge-distance inflation) instead "
                         "of the rasterized grid; clearance metrics become "
                         "exact segment distances")
+    parser.add_argument("--aot", action="store_true",
+                        help="route the big solve/init programs through the "
+                        "AOT executable store (.jax_cache/aot): first run "
+                        "compiles and saves, later runs start with ZERO "
+                        "remote-compile-service round trips (keys carry "
+                        "source+config+shape identity, so any code change "
+                        "recompiles)")
     parser.add_argument("--out", default="/tmp/nfopp_results.json")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -229,10 +236,16 @@ def main():
         checkpoint_every_chunks=args.checkpoint_every,
         resume=args.resume,
         shortcut_trials=args.shortcut,
+        aot=args.aot,
         **exact_kw,
     )
 
     feasible = result.feasible
+    if args.aot:
+        ev = result.log.settings["suite"].get("aot_events", [])
+        n_loaded = sum(1 for e in ev if e["loaded"])
+        print(f"AOT: {n_loaded}/{len(ev)} programs loaded from the store "
+              f"(compile bypassed): {json.dumps(ev)}")
     print(f"\nwall time (all problems, one batch): {result.wall_time:.2f}s")
     print(f"feasible: {int(feasible.sum())}/{len(feasible)}")
     bad = (result.start_invalid | result.goal_invalid)
