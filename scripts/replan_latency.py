@@ -52,6 +52,13 @@ def main() -> int:
                              "shared field per sub-fleet) — the schedule for "
                              "fleets past the one-shot capacity cliff; in "
                              "--fleet-sweep use the 'R/S' size token instead")
+    parser.add_argument("--group-size", type=int, default=None, metavar="G",
+                        help="device-true fleet: robots per shared-field "
+                             "group (default: whole sub-fleet). E.g. "
+                             "--fleet 256 --group-size 128 runs ONE 256-robot "
+                             "burst with two 128-robot field groups — "
+                             "separates group-reduction width from program "
+                             "width when probing the capacity cliff")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--device-true", action="store_true",
                         help="run the whole session inside ONE jitted program "
@@ -85,6 +92,16 @@ def main() -> int:
                              "program through the AOT executable store "
                              "(first run compiles+saves; later runs start "
                              "with zero compile-service round trips)")
+    parser.add_argument("--field-freq", type=int, default=1, metavar="S",
+                        help="train the shared occupancy field every S-th "
+                             "step (must divide the reparam freq 10 for the "
+                             "static schedule). The fleet-serving speed "
+                             "lever: a G-robot fleet on ONE map feeds the "
+                             "shared field G samples-batches per training "
+                             "step, so at fleet scale the field stays fresh "
+                             "at a fraction of the per-step training rate — "
+                             "and the field update is ~2/3 of the step's "
+                             "dependency chain (BASELINE_MEASURED.md)")
     args = parser.parse_args()
 
     import jax
@@ -113,7 +130,18 @@ def main() -> int:
         jnp.asarray([-0.3, 0.2, -0.3, 0.2], jnp.float32),
         jnp.asarray([0.0, 3.0, 0.0, 3.0], jnp.float32),
     )
-    solver = ConstrainedSolver(run_planner_config(), rectangle_collision)
+    config = run_planner_config()
+    if args.field_freq > 1:
+        if config.reparametrize_trajectory_freq % args.field_freq != 0:
+            raise SystemExit(
+                f"--field-freq {args.field_freq} must divide the reparam "
+                f"freq {config.reparametrize_trajectory_freq} (static "
+                "schedule; see bench.py --field-freq)"
+            )
+        config = config._replace(
+            optimize_collision_model_freq=args.field_freq
+        )
+    solver = ConstrainedSolver(config, rectangle_collision)
 
     if args.device_true or args.fleet_sweep:
         import time as _time
@@ -148,13 +176,18 @@ def main() -> int:
             lockstep precondition (group-mean gradients assume identical
             replicas; distinct inits would silently freeze the initial
             offsets into every robot's field)."""
-            group = r // subgroups
+            group = args.group_size or (r // subgroups)
+            if (r // subgroups) % group != 0:
+                raise SystemExit(
+                    f"--group-size {group} must divide the sub-fleet "
+                    f"{r // subgroups}"
+                )
 
             def mk(seed):
                 kp, kf = jax.random.split(jax.random.PRNGKey(seed))
                 keys = jax.random.split(kp, r)
                 field_keys = jnp.repeat(
-                    jax.random.split(kf, subgroups), group, axis=0
+                    jax.random.split(kf, r // group), group, axis=0
                 )
                 return jax.jit(jax.vmap(
                     lambda k, fk: solver.init_state(
@@ -253,6 +286,8 @@ def main() -> int:
                 "metric": "fleet_replan_scaling_device_true",
                 "budget_ms": args.timeout * 1e3,
                 "steps_per_cycle": s,
+                **({"field_freq": args.field_freq}
+                   if args.field_freq > 1 else {}),
                 "mode": "one shared map, ONE shared occupancy field per "
                         "fleet (run_grouped); robots alternate goal/start "
                         "targets with a retarget every cycles/goals cycles",
@@ -279,6 +314,10 @@ def main() -> int:
                 "robots": r,
                 **({"subgroups": args.subgroups}
                    if args.subgroups > 1 else {}),
+                **({"field_freq": args.field_freq}
+                   if args.field_freq > 1 else {}),
+                **({"group_size": args.group_size}
+                   if args.group_size else {}),
                 **({"aot": aot_info} if aot_info else {}),
                 "p50_ms": round(per_cycle_ms, 3),
                 "note": "one jitted session; fixed-shape cycles => mean == p50",

@@ -19,7 +19,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--suite", choices=["corridor", "forest"], default="corridor")
+    parser.add_argument("--suite", choices=["corridor", "forest", "movingai"],
+                        default="corridor")
     parser.add_argument("--seeds", type=int, default=4)
     parser.add_argument("--footprint-radius", type=float, default=1.0)
     parser.add_argument("--min-geodesic", type=float, default=0.0,
@@ -44,10 +45,38 @@ def main():
         corridor, grid_collision, random_forest, resample_distant_endpoints,
     )
 
-    make = corridor if args.suite == "corridor" else (lambda seed: random_forest(seed=seed))
-    scenarios = resample_distant_endpoints(
-        [make(seed=s) for s in range(args.seeds)], args.min_geodesic
-    )
+    if args.suite == "movingai":
+        # the committed city 256x256 fixture + .scen endpoints — the same
+        # worlds as run_benchmark.py/compare_suites.py movingai. (The
+        # reference's committed GPMP2 MovingAI number ran bench-mr's
+        # Berlin_0_256 scenario, movingai_experiment_gpmp2.ipynb cell 7 —
+        # not in its repo, so the suites differ in map; both are MovingAI
+        # city-class 256x256 grids.)
+        from nfopp_tpu.worlds import parse_movingai_map, parse_movingai_scen
+        from nfopp_tpu.worlds.scenarios import GridScenario
+
+        root = pathlib.Path(__file__).resolve().parent.parent
+        base = parse_movingai_map(
+            (root / "assets/movingai/city_0_256.map").read_text())
+        entries = parse_movingai_scen(
+            (root / "assets/movingai/city_0_256.map.scen").read_text()
+        )[: args.seeds]
+        scenarios = [
+            GridScenario(
+                base.blocked, base.resolution, base.origin,
+                np.array([e["start_x"] + 0.5, e["start_y"] + 0.5, 0.0],
+                         np.float32),
+                np.array([e["goal_x"] + 0.5, e["goal_y"] + 0.5, 0.0],
+                         np.float32),
+            )
+            for e in entries
+        ]
+    else:
+        make = corridor if args.suite == "corridor" else (
+            lambda seed: random_forest(seed=seed))
+        scenarios = resample_distant_endpoints(
+            [make(seed=s) for s in range(args.seeds)], args.min_geodesic
+        )
 
     oracles = [s.oracle(args.footprint_radius) for s in scenarios]
     sdfs = [
