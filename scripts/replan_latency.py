@@ -166,7 +166,26 @@ def main() -> int:
             t0 = _time.perf_counter()
             out, aux = run_fn(*timed_args)
             float(jnp.sum(aux.path_length))
-            return _time.perf_counter() - t0
+            return _time.perf_counter() - t0, out, aux
+
+        def fleet_quality(out, aux):
+            """Quality of the session's FINAL plans (dense-check feasibility
+            + mean xy length) — speed levers like --field-freq must not
+            silently trade plan quality away."""
+            from nfopp_tpu.solver.tracking import evaluate_path
+
+            paths = jax.vmap(solver.full_trajectory)(out)
+            collides, lengths = jax.jit(jax.vmap(
+                lambda p: evaluate_path(rectangle_collision, oracle, p)
+            ))(paths)
+            return {
+                "final_plans_feasible_frac": round(
+                    float(1.0 - np.asarray(collides).mean()), 4
+                ),
+                "final_plans_mean_length": round(
+                    float(np.asarray(lengths).mean()), 4
+                ),
+            }
 
         def fleet_setup(r: int, cycles_per_goal: int, subgroups: int = 1):
             """(compiled session fn, warm args, timed args) for an r-robot
@@ -255,20 +274,23 @@ def main() -> int:
                     )
                     fn = jax.jit(lambda st, o, gl: replan_session(
                         solver, st, o, gl, cpg, s))
-                    wall = timed_session(
+                    wall, _, _ = timed_session(
                         fn, (sa, oracle, goals_1), (sb, oracle, goals_1)
                     )
+                    quality = {}
                 else:
                     fn, warm_a, timed_a, aot_info = fleet_setup(
                         r, cpg, subgroups
                     )
-                    wall = timed_session(fn, warm_a, timed_a)
+                    wall, out_f, aux_f = timed_session(fn, warm_a, timed_a)
+                    quality = fleet_quality(out_f, aux_f)
                 per_cycle_ms = wall / cycles_r * 1e3
                 per_step_us = wall / (cycles_r * s) * 1e6
                 row = {
                     "robots": r,
                     **({"subgroups": subgroups} if subgroups > 1 else {}),
                     **({"aot": aot_info} if r > 1 and aot_info else {}),
+                    **quality,
                     "p50_ms": round(per_cycle_ms, 3),
                     "per_step_us": round(per_step_us, 2),
                     "steps_fitting_budget": int(
@@ -306,11 +328,13 @@ def main() -> int:
         if args.fleet:
             r = args.fleet
             fn, warm_a, timed_a, aot_info = fleet_setup(r, c, args.subgroups)
-            wall = timed_session(fn, warm_a, timed_a)
+            wall, out_f, aux_f = timed_session(fn, warm_a, timed_a)
+            quality = fleet_quality(out_f, aux_f)
             per_cycle_ms = wall / total_cycles * 1e3
             per_step_us = wall / (total_cycles * s) * 1e6
             result = {
                 "metric": "fleet_replan_cycle_latency_device_true",
+                **quality,
                 "robots": r,
                 **({"subgroups": args.subgroups}
                    if args.subgroups > 1 else {}),
@@ -339,7 +363,9 @@ def main() -> int:
         state_b = mk1(jax.random.PRNGKey(2))
         goals = jnp.stack([goal if j % 2 == 0 else start for j in range(g)])
         fn = jax.jit(lambda st, o, gl: replan_session(solver, st, o, gl, c, s))
-        wall = timed_session(fn, (state_a, oracle, goals), (state_b, oracle, goals))
+        wall, _, _ = timed_session(
+            fn, (state_a, oracle, goals), (state_b, oracle, goals)
+        )
         per_cycle_ms = wall / total_cycles * 1e3
         per_step_us = wall / (total_cycles * s) * 1e6
         result = {
