@@ -131,3 +131,36 @@ class TestFleetService:
                 solver, 2, env.bounds, oracle, steps_per_chunk=7,
                 shared_field=True,
             )
+
+
+class TestFleetGroupSize:
+    def test_sub_fleet_field_groups(self):
+        """group_size < n_robots: one field per sub-fleet (the REPLAN_r05
+        256-robot serving configuration at dryrun scale) — replicas in
+        lockstep WITHIN each group, independent ACROSS groups."""
+        env, oracle, solver = car_oracle_solver()
+        svc = FleetReplanningService(
+            solver, 4, env.bounds, oracle,
+            planning_timeout=0.05, group_size=2,
+        )
+        for r, (s, g) in enumerate(
+            [(env.start, env.goal), (env.goal, env.start)] * 2
+        ):
+            svc.update_robot_pose(r, s)
+            assert svc.set_goal(r, g)
+        paths = svc.replan_cycle()
+        assert set(paths) == {0, 1, 2, 3}
+        for p in paths.values():
+            assert np.isfinite(p).all()
+        for leaf in jax.tree_util.tree_leaves(svc._states.field_params):
+            arr = np.asarray(leaf)
+            np.testing.assert_array_equal(arr[0], arr[1])
+            np.testing.assert_array_equal(arr[2], arr[3])
+            assert not np.array_equal(arr[0], arr[2])  # groups independent
+
+    def test_group_size_must_divide(self):
+        env, oracle, solver = car_oracle_solver()
+        with pytest.raises(ValueError, match="divisible"):
+            FleetReplanningService(
+                solver, 4, env.bounds, oracle, group_size=3
+            )
