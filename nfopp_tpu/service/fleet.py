@@ -115,13 +115,40 @@ class FleetReplanningService:
 
     # ------------------------------------------------------------- inputs
 
-    def update_world(self, oracle_params: Any) -> None:
-        """New map/sensor oracle for the whole fleet (one shared world)."""
+    def update_world(self, oracle_params: Any, group: int | None = None) -> None:
+        """New map/sensor oracle for the whole fleet, or — with `group` —
+        for one field group's robots only (multi-tenant serving: one chip
+        serves sub-fleets on DIFFERENT maps, one shared field per map;
+        `init_batch_grouped` enforces world uniformity per group, not
+        globally). Call before the first set_goal when maps differ, so field
+        pretraining sees each group's own map."""
         with self._mutex:
+            if group is None:
+                self._oracles = jax.tree_util.tree_map(
+                    lambda x: jnp.tile(
+                        jnp.asarray(x)[None],
+                        (self.n_robots,) + (1,) * jnp.ndim(x),
+                    ),
+                    oracle_params,
+                )
+                return
+            if self._oracles is None:
+                raise ValueError(
+                    "set the fleet-wide world before per-group updates "
+                    "(update_world(params) defines the oracle structure)"
+                )
+            lo = group * self.group_size
+            hi = lo + self.group_size
+            if not 0 <= lo < hi <= self.n_robots:
+                raise ValueError(f"group {group} out of range")
             self._oracles = jax.tree_util.tree_map(
-                lambda x: jnp.tile(
-                    jnp.asarray(x)[None], (self.n_robots,) + (1,) * jnp.ndim(x)
+                lambda full, x: full.at[lo:hi].set(
+                    jnp.tile(
+                        jnp.asarray(x)[None],
+                        (self.group_size,) + (1,) * jnp.ndim(x),
+                    )
                 ),
+                self._oracles,
                 oracle_params,
             )
 

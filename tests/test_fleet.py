@@ -164,3 +164,49 @@ class TestFleetGroupSize:
             FleetReplanningService(
                 solver, 4, env.bounds, oracle, group_size=3
             )
+
+
+class TestMultiMapFleet:
+    def test_groups_on_different_maps(self):
+        """Multi-tenant serving: 2 field groups on DIFFERENT maps, one chip.
+        Each group's robots must avoid THEIR map's obstacles (checked against
+        each group's own oracle), and the shared fields stay per-group."""
+        from nfopp_tpu.worlds import CircleOracle, circle_collision
+
+        env, oracle, solver = car_oracle_solver()
+        svc = FleetReplanningService(
+            solver, 4, env.bounds, oracle,
+            planning_timeout=0.05, group_size=2,
+        )
+        # group 1 gets a DIFFERENT world: obstacles shifted
+        shifted = CircleOracle(
+            oracle.points + jnp.asarray([0.4, 0.4], jnp.float32),
+            oracle.mask, oracle.radius, oracle.bounds,
+        )
+        svc.update_world(shifted, group=1)
+        arr = np.asarray(svc._oracles.points)
+        np.testing.assert_array_equal(arr[0], arr[1])
+        np.testing.assert_array_equal(arr[2], arr[3])
+        assert not np.array_equal(arr[0], arr[2])
+        for r, (s, g) in enumerate(
+            [(env.start, env.goal), (env.goal, env.start)] * 2
+        ):
+            svc.update_robot_pose(r, s)
+            assert svc.set_goal(r, g)
+        paths = svc.replan_cycle()
+        assert set(paths) == {0, 1, 2, 3}
+        for p in paths.values():
+            assert np.isfinite(p).all()
+        # per-group fields in lockstep, independent across maps
+        for leaf in jax.tree_util.tree_leaves(svc._states.field_params):
+            a = np.asarray(leaf)
+            np.testing.assert_array_equal(a[0], a[1])
+            np.testing.assert_array_equal(a[2], a[3])
+
+    def test_group_update_requires_world(self):
+        env, oracle, solver = car_oracle_solver()
+        svc = FleetReplanningService(
+            solver, 4, env.bounds, oracle, group_size=2,
+        )
+        with pytest.raises(ValueError, match="out of range"):
+            svc.update_world(oracle, group=5)
