@@ -84,6 +84,10 @@ def arc_length_cdf(points: jnp.ndarray) -> jnp.ndarray:
     (nerf_opt_planner.py:224-231): zero-prepended cumsum of normalized distances.
     """
     dists = segment_lengths(points)
-    normalized = dists / jnp.sum(dists)
+    # zero-length guard: a fully collapsed path (start == goal after a
+    # tracked pose lands exactly on the final waypoint — update_start's
+    # degenerate case) must yield a finite all-zero CDF, not 0/0 NaN that
+    # poisons the whole state (and, grouped, the whole fleet's shared field)
+    normalized = dists / jnp.maximum(jnp.sum(dists), 1e-12)
     cdf = jnp.cumsum(normalized)
     return jnp.concatenate([jnp.zeros(1, cdf.dtype), cdf])

@@ -57,7 +57,11 @@ def arc_length_interp(full_trajectory: jnp.ndarray, distance_dims: int) -> ArcLe
     cdf_below = cdf[index_below]
     denominator = cdf_above - cdf_below
     denominator = jnp.where(denominator < 1e-5, jnp.full_like(denominator, 1e-5), denominator)
-    t = (uniform - cdf_below) / denominator
+    # by construction t is in [0, 1] for any nondegenerate cdf (index_above
+    # is the comparison count, so cdf_below < u <= cdf_above) — the clamp is
+    # a no-op there and only binds on degenerate all-zero CDFs (collapsed
+    # paths), where an unbounded t amplifies float cancellation in the lerp
+    t = jnp.clip((uniform - cdf_below) / denominator, 0.0, 1.0)
     return ArcLengthInterp(index_above, index_below, t)
 
 

@@ -8,6 +8,7 @@ from .session import (  # noqa: F401
     SessionAux,
     advance_along_path,
     dynamic_replan_session,
+    fleet_dynamic_session,
     fleet_replan_session,
     replan_session,
 )

@@ -33,6 +33,7 @@ __all__ = [
     "DynamicSessionAux",
     "advance_along_path",
     "dynamic_replan_session",
+    "fleet_dynamic_session",
     "replan_session",
     "fleet_replan_session",
 ]
@@ -134,6 +135,63 @@ def dynamic_replan_session(
 
     (state, _), aux = jax.lax.scan(
         cycle, (state, jnp.asarray(False)), oracle_xs
+    )
+    return state, aux
+
+
+def fleet_dynamic_session(
+    solver,
+    states: Any,
+    oracle_builder,
+    oracle_xs: Any,
+    goals: jnp.ndarray,
+    steps_per_cycle: int,
+    step_dist: float,
+    group_size: int,
+    goal_tolerance: float = 0.2,
+) -> tuple[Any, DynamicSessionAux]:
+    """Fleet + DYNAMIC world in one jitted program: R robots (batched
+    `states`, per-robot fixed `goals` [R, d]) share one map that CHANGES
+    every cycle (`oracle_builder(oracle_xs[c])` -> ONE oracle for the whole
+    fleet, e.g. fresh sensor points of moving obstacles). Per cycle every
+    robot advances along its own fresh plan (frozen once within
+    `goal_tolerance` of its goal), `update_start` re-pins each trajectory,
+    and one `run_grouped` burst replans the whole fleet with one shared
+    occupancy field per `group_size` robots — the fleet analog of
+    `dynamic_replan_session` (the reference's live-map single-robot mode,
+    ros/goal_planner_adapter.py:44-63 + collision_checker_adapter.py:17-27,
+    scaled out). Aux traces are per-robot ([C, R, ...]) for offline
+    validation against the true moving obstacles.
+    """
+    _check_steps(solver, steps_per_cycle)
+    goals = jnp.asarray(goals, jnp.float32)
+    robots = goals.shape[0]
+
+    def cycle(carry, xs):
+        st, reached = carry
+        oracle_t = oracle_builder(xs)
+        oracles_b = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (robots,) + x.shape), oracle_t
+        )
+        paths = jax.vmap(solver.full_trajectory)(st)
+        advanced = jax.vmap(advance_along_path, in_axes=(0, None))(
+            paths, jnp.float32(step_dist)
+        )
+        pose = jnp.where(reached[:, None], paths[:, 0], advanced)
+        reached = reached | (
+            jnp.linalg.norm(pose[:, :2] - goals[:, :2], axis=1)
+            < goal_tolerance
+        )
+        st = jax.vmap(solver.update_start)(st, pose)
+        st, _ = solver.run_grouped(st, oracles_b, steps_per_cycle, group_size)
+        plans = jax.vmap(solver.full_trajectory)(st)
+        return (st, reached), DynamicSessionAux(
+            pose=pose, reached=reached,
+            path_length=jax.vmap(_xy_length)(plans), plan=plans,
+        )
+
+    (state, _), aux = jax.lax.scan(
+        cycle, (states, jnp.zeros((robots,), bool)), oracle_xs
     )
     return state, aux
 

@@ -116,3 +116,86 @@ class TestDynamicSession:
         _, a2 = session(state, jnp.asarray(xs))
         np.testing.assert_array_equal(np.asarray(a1.pose), np.asarray(a2.pose))
         np.testing.assert_array_equal(np.asarray(a1.plan), np.asarray(a2.plan))
+
+
+class TestFleetDynamicSession:
+    def _setup(self):
+        from nfopp_tpu.service import fleet_dynamic_session  # noqa: F401
+
+        cfg = SolverConfig(
+            trajectory_length=12, collision_point_count=12,
+            random_field_points=4, onf=ONFConfig(angle_encoding=True),
+            angle_offset=0.3,
+        )
+        solver = ConstrainedSolver(cfg, circle_collision)
+        bounds = jnp.asarray([0.0, 4.0, 0.0, 2.0], jnp.float32)
+        mask_j = jnp.asarray(np.ones(4, bool))
+        cycles = 12
+        xs = np.full((cycles, 4, 2), 1e9, np.float32)
+        for c in range(cycles):
+            y = 0.4 + 1.2 * abs(np.sin(c * 0.25))
+            xs[c] = [[2.0, y], [2.1, y], [2.0, y + 0.1], [1.9, y]]
+
+        def builder(points_t):
+            return CircleOracle(points_t, mask_j, jnp.float32(0.2), bounds)
+
+        return solver, bounds, builder, jnp.asarray(xs)
+
+    def test_fleet_matches_single_robot_session(self):
+        """A 1-robot fleet with group_size=1 must reproduce
+        dynamic_replan_session's trace (same per-robot RNG stream as the
+        vmapped run; the grouped step with group 1 is the plain step)."""
+        from nfopp_tpu.service import fleet_dynamic_session
+
+        solver, bounds, builder, xs = self._setup()
+        start = jnp.asarray([0.3, 1.0, 0.0], jnp.float32)
+        goal = jnp.asarray([3.7, 1.0, 0.0], jnp.float32)
+        state = solver.init_state(
+            jax.random.PRNGKey(0), start, goal, bounds, builder(xs[0])
+        )
+        _, aux_1 = jax.jit(lambda st, x: dynamic_replan_session(
+            solver, st, builder, x, goal, 10, 0.15,
+        ))(state, xs)
+        states_f = jax.tree_util.tree_map(lambda x: x[None], state)
+        _, aux_f = jax.jit(lambda st, x: fleet_dynamic_session(
+            solver, st, builder, x, goal[None], 10, 0.15, group_size=1,
+        ))(states_f, xs)
+        np.testing.assert_allclose(
+            np.asarray(aux_f.pose[:, 0]), np.asarray(aux_1.pose), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(aux_f.reached[:, 0]), np.asarray(aux_1.reached)
+        )
+
+    def test_fleet_dynamic_runs_and_freezes(self):
+        """4 robots, crossing routes, shared moving world, one shared field:
+        all traces finite, per-robot goal freeze, per-group lockstep."""
+        from nfopp_tpu.service import fleet_dynamic_session
+
+        solver, bounds, builder, xs = self._setup()
+        starts = jnp.asarray(
+            [[0.3, 0.6, 0.0], [0.3, 1.4, 0.0], [3.7, 0.6, 3.14],
+             [3.7, 1.4, 3.14]], jnp.float32
+        )
+        goals = jnp.asarray(
+            [[3.7, 0.6, 0.0], [3.7, 1.4, 0.0], [0.3, 0.6, 3.14],
+             [0.3, 1.4, 3.14]], jnp.float32
+        )
+        kp, kf = jax.random.split(jax.random.PRNGKey(1))
+        fkeys = jnp.tile(kf[None], (4, 1))
+        states = jax.vmap(
+            lambda k, fk, s, g: solver.init_state(
+                k, s, g, bounds, builder(xs[0]), field_key=fk
+            )
+        )(jax.random.split(kp, 4), fkeys, starts, goals)
+        out, aux = jax.jit(lambda st, x: fleet_dynamic_session(
+            solver, st, builder, x, goals, 10, 0.4, group_size=4,
+        ))(states, xs)
+        assert aux.pose.shape == (12, 4, 3)
+        assert np.isfinite(np.asarray(aux.pose)).all()
+        assert np.isfinite(np.asarray(aux.path_length)).all()
+        reached = np.asarray(aux.reached)
+        assert reached[-1].all()  # 12 cycles x 0.4 = 4.8 > 3.4 route
+        for leaf in jax.tree_util.tree_leaves(out.field_params):
+            a = np.asarray(leaf)
+            np.testing.assert_array_equal(a[0], a[-1])  # shared-field lockstep

@@ -95,3 +95,48 @@ def test_reparametrize_degenerate_zero_length_segments():
     full[6] = full[4]
     got, _ = rp.reparametrize_se2(jnp.asarray(full))
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_collapsed_path_reparametrizes_finite():
+    """update_start with the pose EXACTLY on the final waypoint collapses the
+    trajectory to a point; the arc-length CDF must stay finite (guarded
+    total length) instead of 0/0-NaN'ing the state — a robot whose tracked
+    pose lands on the path end hits this in production (fleet dynamic
+    sessions froze a whole shared-field group with NaNs before the fix)."""
+    import jax
+
+    from nfopp_tpu.models import ONFConfig
+    from nfopp_tpu.ops.reparametrize import reparametrize_se2
+    from nfopp_tpu.solver import ConstrainedSolver, SolverConfig
+    from nfopp_tpu.worlds import CircleOracle, circle_collision
+
+    point = jnp.tile(jnp.asarray([1.5, 1.0, 0.3], jnp.float32)[None], (14, 1))
+    out, interp = reparametrize_se2(point)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(point[1:-1]),
+                               atol=1e-4)
+
+    cfg = SolverConfig(
+        trajectory_length=12, collision_point_count=12, random_field_points=4,
+        onf=ONFConfig(angle_encoding=True), angle_offset=0.3,
+    )
+    solver = ConstrainedSolver(cfg, circle_collision)
+    bounds = jnp.asarray([0.0, 4.0, 0.0, 2.0], jnp.float32)
+    oracle = CircleOracle(
+        jnp.asarray([[2.0, 0.5], [2.1, 0.5]], jnp.float32),
+        jnp.asarray(np.ones(2, bool)), jnp.float32(0.2), bounds,
+    )
+    goal = jnp.asarray([3.7, 0.6, 0.0], jnp.float32)
+    st = solver.init_state(
+        jax.random.PRNGKey(0), jnp.asarray([0.3, 0.6, 0.0], jnp.float32),
+        goal, bounds, oracle,
+    )
+    st, _ = jax.jit(lambda s, o: solver.run(s, o, 50))(st, oracle)
+    st = solver.update_start(st, goal)  # pose lands exactly on the goal
+    assert np.isfinite(np.asarray(st.trajectory)).all()
+    st, _ = jax.jit(lambda s, o: solver.run(s, o, 20))(st, oracle)
+    assert np.isfinite(np.asarray(st.trajectory)).all()
+    # a later retarget to a REAL goal recovers a working solve
+    st = solver.retarget(st, goal, jnp.asarray([0.5, 1.5, 0.0], jnp.float32))
+    st, _ = jax.jit(lambda s, o: solver.run(s, o, 50))(st, oracle)
+    assert np.isfinite(np.asarray(st.trajectory)).all()
